@@ -1,0 +1,208 @@
+"""REST API tests — mirrors reference coverage
+(``/root/reference/tests/test_litestar_api.py``): health, all synthesis
+routes with the engine patched, download round-trip, 404, pydantic
+validation failures, engine-error 500, and file-cache behavior."""
+
+import asyncio
+from unittest.mock import patch
+
+import numpy as np
+import pytest
+
+import importlib
+
+# ``from vietvoice_tts_tpu.api import app`` would resolve to the App
+# *instance* re-exported by the package __init__ (it shadows the submodule
+# attribute); importlib gets the module itself.
+app_module = importlib.import_module("vietvoice_tts_tpu.api.app")
+from vietvoice_tts_tpu.api.asgi import AsyncTestClient
+from vietvoice_tts_tpu.utils.wavio import wav_bytes
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+FAKE_WAV = wav_bytes(np.zeros(2400, np.int16), 24000)
+
+
+async def fake_synthesize_async(**kwargs):
+    return FAKE_WAV, 24000, 0.1
+
+
+@pytest.fixture
+def client():
+    return AsyncTestClient(app_module.app)
+
+
+@pytest.fixture
+def patched(client):
+    with patch.object(app_module, "synthesize_async", fake_synthesize_async):
+        yield client
+
+
+class TestHealth:
+    def test_health(self, client):
+        resp = run(client.get("/api/v1/health"))
+        assert resp.status_code == 200
+        data = resp.json()
+        assert data["status"] == "healthy"
+        assert isinstance(data["uptime"], int)
+
+    def test_health_wrong_method(self, client):
+        resp = run(client.post("/api/v1/health", json={}))
+        assert resp.status_code == 405
+
+
+class TestSynthesizeStream:
+    def test_stream_returns_wav(self, patched):
+        resp = run(patched.post("/api/v1/synthesize", json={"text": "xin chào"}))
+        assert resp.status_code == 200
+        assert resp.content == FAKE_WAV
+        assert resp.headers["content-type"] == "audio/wav"
+        assert "inline" in resp.headers["Content-Disposition"]
+
+    def test_with_all_options(self, patched):
+        resp = run(
+            patched.post(
+                "/api/v1/synthesize",
+                json={
+                    "text": "xin chào",
+                    "speed": 1.2,
+                    "gender": "female",
+                    "group": "news",
+                    "area": "southern",
+                    "emotion": "happy",
+                    "sample_iteration": 2,
+                },
+            )
+        )
+        assert resp.status_code == 200
+
+
+class TestValidation:
+    @pytest.mark.parametrize(
+        "body",
+        [
+            {},  # missing text
+            {"text": ""},  # too short
+            {"text": "x" * 1001},  # too long
+            {"text": "ok", "speed": 0.1},  # speed below range
+            {"text": "ok", "speed": 3.0},  # speed above range
+            {"text": "ok", "gender": "robot"},  # bad enum
+            {"text": "ok", "output_format": "mp3"},  # unsupported format
+            {"text": "ok", "sample_iteration": -1},  # negative iteration
+        ],
+    )
+    def test_invalid_bodies(self, patched, body):
+        resp = run(patched.post("/api/v1/synthesize", json=body))
+        assert resp.status_code in (400, 422)
+
+    def test_malformed_json(self, patched):
+        async def go():
+            return await patched.request("POST", "/api/v1/synthesize", None)
+
+        # raw garbage body
+        from vietvoice_tts_tpu.api.asgi import AsyncTestClient
+
+        async def raw():
+            sent = {}
+            received = [
+                {"type": "http.request", "body": b"{not json", "more_body": False}
+            ]
+
+            async def receive():
+                return received.pop(0)
+
+            async def send(m):
+                if m["type"] == "http.response.start":
+                    sent["status"] = m["status"]
+
+            await app_module.app(
+                {"type": "http", "method": "POST", "path": "/api/v1/synthesize"},
+                receive,
+                send,
+            )
+            return sent["status"]
+
+        assert run(raw()) in (400, 422)
+
+
+class TestFileRoutes:
+    def test_file_then_download(self, patched):
+        resp = run(
+            patched.post("/api/v1/synthesize/file", json={"text": "tải về"})
+        )
+        assert resp.status_code == 200
+        data = resp.json()
+        assert data["file_size_bytes"] == len(FAKE_WAV)
+        assert data["sample_rate"] == 24000
+        assert data["format"] == "wav"
+        dl = run(patched.get(data["download_url"]))
+        assert dl.status_code == 200
+        assert dl.content == FAKE_WAV
+        assert "attachment" in dl.headers["Content-Disposition"]
+
+    def test_download_unknown_404(self, client):
+        resp = run(client.get("/api/v1/download/nope123456"))
+        assert resp.status_code == 404
+
+    def test_download_expired_file_404(self, patched):
+        resp = run(patched.post("/api/v1/synthesize/file", json={"text": "x"}))
+        url = resp.json()["download_url"]
+        file_id = url.rsplit("/", 1)[-1]
+        app_module._file_cache[file_id]["path"].unlink()
+        resp = run(patched.get(url))
+        assert resp.status_code == 404
+
+    def test_synthesize_download_attachment(self, patched):
+        resp = run(
+            patched.post("/api/v1/synthesize/download", json={"text": "đính kèm"})
+        )
+        assert resp.status_code == 200
+        assert resp.content == FAKE_WAV
+        assert "attachment" in resp.headers["Content-Disposition"]
+
+
+class TestErrors:
+    def test_engine_error_is_500(self, client):
+        async def boom(**kwargs):
+            raise RuntimeError("engine exploded")
+
+        with patch.object(app_module, "synthesize_async", boom):
+            resp = run(client.post("/api/v1/synthesize", json={"text": "x"}))
+        assert resp.status_code == 500
+
+    def test_unknown_route_404(self, client):
+        resp = run(client.get("/api/v1/nothing"))
+        assert resp.status_code == 404
+
+
+class TestEngineWrapper:
+    def test_speed_passed_as_argument_not_mutation(self, tiny_pack_dir):
+        """The engine config must not be mutated around requests."""
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        cfg = tiny_config(model_cache_dir=tiny_pack_dir)
+        with patch.object(te, "_engine_config", cfg), patch.object(te, "_engine", None):
+            from vietvoice_tts_tpu.client import TTSApi
+
+            te._engine = TTSApi(cfg)
+            before = te._engine.config.speed
+            audio, sr, dur = run(
+                te.synthesize_async(
+                    text="Một câu.",
+                    speed=1.5,
+                    gender=None,
+                    group=None,
+                    area=None,
+                    emotion=None,
+                    sample_iteration=None,
+                )
+            )
+            assert te._engine.config.speed == before
+            assert audio[:4] == b"RIFF"
+            assert sr == 24000
+            assert dur > 0
+            te.reset_engine()

@@ -1,0 +1,191 @@
+"""End-to-end engine tests on the tiny CPU model: synthesis output contract,
+chunk planning policy, determinism, voice selection."""
+
+import numpy as np
+import pytest
+
+from vietvoice_tts_tpu.client import TTSApi
+from vietvoice_tts_tpu.utils.wavio import read_wav
+
+
+class TestSynthesize:
+    def test_returns_int16_and_time(self, tiny_engine):
+        wave, t = tiny_engine.synthesize("Xin chào.")
+        assert wave.dtype == np.int16
+        assert wave.size > 0
+        assert t > 0
+
+    def test_deterministic(self, tiny_engine):
+        w1, _ = tiny_engine.synthesize("Một câu kiểm tra.")
+        w2, _ = tiny_engine.synthesize("Một câu kiểm tra.")
+        np.testing.assert_array_equal(w1, w2)
+
+    def test_output_file(self, tiny_engine, temp_dir):
+        path = f"{temp_dir}/out.wav"
+        wave, _ = tiny_engine.synthesize("Ghi ra tệp.", output_path=path)
+        samples, sr = read_wav(path)
+        assert sr == tiny_engine.config.sample_rate
+        assert samples.shape[0] == wave.size
+
+    def test_voice_filters(self, tiny_engine):
+        wave, _ = tiny_engine.synthesize("Giọng nữ.", gender="female", area="southern")
+        assert wave.size > 0
+
+    def test_invalid_gender_raises(self, tiny_engine):
+        # select_sample runs before the wrapped try (as in the reference,
+        # tts_engine.py:217-221), so the ValueError propagates directly.
+        with pytest.raises(ValueError):
+            tiny_engine.synthesize("x", gender="robot")
+
+    def test_sample_iteration_out_of_range(self, tiny_engine):
+        # Build filters that definitely match ≥1 catalog sample so the
+        # iteration bound is actually checked (no-match falls back to
+        # sample 0, as in the reference model.py:189-190).
+        s = tiny_engine.model_session_manager.sample_metadata[0]
+        with pytest.raises(ValueError):
+            tiny_engine.model_session_manager.select_sample(
+                gender=s["gender"],
+                group=s["group"],
+                area=s["area"],
+                emotion=s["emotion"],
+                sample_iteration=10_000,
+            )
+
+    def test_no_match_falls_back_to_first_sample(self, tiny_engine):
+        mgr = tiny_engine.model_session_manager
+        # Find a combo absent from the catalog (groups cycle, so most
+        # (gender, area, emotion, group) tuples don't exist).
+        existing = {(s["gender"], s["area"], s["emotion"], s["group"]) for s in mgr.sample_metadata}
+        from vietvoice_tts_tpu.config import MODEL_AREA, MODEL_EMOTION, MODEL_GROUP
+
+        for area in MODEL_AREA:
+            for emo in MODEL_EMOTION:
+                for grp in MODEL_GROUP:
+                    if ("male", area, emo, grp) not in existing:
+                        audio, text = mgr.select_sample(
+                            gender="male", area=area, emotion=emo, group=grp
+                        )
+                        assert text == mgr.sample_metadata[0]["text"]
+                        return
+        pytest.skip("catalog covers all combos")
+
+    def test_reference_audio_requires_text(self, tiny_engine, sample_wav):
+        with pytest.raises((RuntimeError, ValueError)):
+            tiny_engine.synthesize("x", reference_audio=sample_wav)
+
+    def test_voice_clone_with_user_audio(self, tiny_engine, sample_wav):
+        wave, _ = tiny_engine.synthesize(
+            "Nhân bản giọng nói.",
+            reference_audio=sample_wav,
+            reference_text="Đây là giọng tham khảo.",
+        )
+        assert wave.size > 0
+
+    def test_clone_conflicts_with_filters(self, tiny_engine, sample_wav):
+        with pytest.raises((RuntimeError, ValueError)):
+            tiny_engine.synthesize(
+                "x",
+                gender="male",
+                reference_audio=sample_wav,
+                reference_text="t",
+            )
+
+
+class TestChunkPlanning:
+    def test_single_chunk_short_text(self, tiny_engine):
+        ref = np.zeros(24000, np.float32)
+        plans = tiny_engine._plan_chunks(ref, "Tham khảo.", "Câu ngắn.")
+        assert len(plans) == 1
+        assert plans[0].total_len <= plans[0].bucket
+
+    def test_long_text_multi_chunk(self, tiny_engine):
+        ref = np.zeros(24000, np.float32)
+        long_text = " ".join(f"Câu số {i} trong đoạn văn dài." for i in range(60))
+        plans = tiny_engine._plan_chunks(ref, "Tham khảo.", long_text)
+        assert len(plans) > 1
+        for p in plans:
+            assert p.ref_len < p.total_len <= p.bucket
+
+    def test_ref_longer_than_chunk_raises(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.pipeline.engine import TTSEngine
+
+        cfg = tiny_config(model_cache_dir=tiny_pack_dir, max_chunk_duration=1.5)
+        engine = TTSEngine(cfg)
+        ref = np.zeros(2 * 24000, np.float32)  # 2 s reference > 1.5 s cap
+        long_text = " ".join(["nhiều chữ"] * 300)
+        with pytest.raises(ValueError):
+            engine._plan_chunks(ref, "Tham khảo.", long_text)
+
+
+class TestClientApi:
+    def test_lazy_engine(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+
+        api = TTSApi(tiny_config(model_cache_dir=tiny_pack_dir))
+        assert api._engine is None
+        _ = api.engine
+        assert api._engine is not None
+        api.cleanup()
+        assert api._engine is None
+
+    def test_none_text_raises(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+
+        api = TTSApi(tiny_config(model_cache_dir=tiny_pack_dir))
+        with pytest.raises(ValueError):
+            api.synthesize(None)
+
+    def test_synthesize_to_bytes_is_wav(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+
+        api = TTSApi(tiny_config(model_cache_dir=tiny_pack_dir))
+        data, t = api.synthesize_to_bytes("Một câu.")
+        assert data[:4] == b"RIFF"
+        samples, sr = read_wav(data)
+        assert sr == 24000
+        api.cleanup()
+
+    def test_context_manager(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+
+        with TTSApi(tiny_config(model_cache_dir=tiny_pack_dir)) as api:
+            wave, _ = api.synthesize("Ngữ cảnh.")
+            assert wave.size > 0
+
+
+class TestDiTProperties:
+    def test_masked_frames_zero_velocity(self, tiny_engine):
+        import jax.numpy as jnp
+
+        from vietvoice_tts_tpu.models.dit import dit_forward
+
+        core = tiny_engine.engine_core
+        b, n, m = 1, 128, core.dit_cfg.n_mels
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b, n, m)).astype(np.float32))
+        cond = jnp.zeros((b, n, m))
+        text = jnp.full((b, n), -1, jnp.int32)
+        t = jnp.asarray([0.5], jnp.float32)
+        mask = jnp.asarray(np.arange(n)[None, :] < 64)
+        v = np.asarray(
+            dit_forward(core.params["dit"], core.dit_cfg, x, cond, text, t, mask)
+        )
+        assert np.abs(v[0, 64:]).max() == 0.0
+        assert np.abs(v[0, :64]).max() > 0.0
+
+    def test_batch_consistency(self, tiny_engine):
+        """Row i of a batched call matches a single-row call (masking works)."""
+        core = tiny_engine.engine_core
+        hop = core.config.hop_length
+        n = 128
+        rng = np.random.default_rng(0)
+        wave = rng.uniform(-0.5, 0.5, (2, n * hop)).astype(np.float32)
+        wave[1] = wave[0]
+        ref_len = np.array([16, 16], np.int32)
+        total = np.array([96, 96], np.int32)
+        text = np.full((2, n), -1, np.int32)
+        text[:, :32] = 5
+        out2 = core.synthesize_batch(wave, ref_len, text, total, seed=7)
+        out1 = core.synthesize_batch(wave[:1], ref_len[:1], text[:1], total[:1], seed=7)
+        np.testing.assert_allclose(out1[0], out2[0], atol=1e-4)

@@ -1,0 +1,145 @@
+"""REST API application: the reference's five routes on our ASGI framework.
+
+Route-for-route parity with ``/root/reference/vietvoicetts/api/app.py``:
+
+- ``GET  /api/v1/health``                (:37) status + uptime
+- ``POST /api/v1/synthesize``            (:43) stream WAV bytes inline
+- ``POST /api/v1/synthesize/file``       (:68) write temp file, return URL
+- ``GET  /api/v1/download/{file_id}``    (:104) download, 404 when expired
+- ``POST /api/v1/synthesize/download``   (:121) attachment stream + cleanup
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from time import monotonic
+from typing import Any, Dict
+from uuid import uuid4
+
+from ..utils.logging import get_logger
+from .asgi import App, File, NotFoundException, Stream
+from .schemas import HealthResponse, SynthesizeFileResponse, SynthesizeRequest
+from .settings import settings
+from .tts_engine import synthesize_async
+
+from .. import deterministic  # noqa: F401 — freeze seeds at import, like the reference
+
+log = get_logger("api.app")
+
+TMP_DIR = settings.TMP_DIR_PATH
+TMP_DIR.mkdir(parents=True, exist_ok=True)
+FILE_LIFESPAN = settings.FILE_LIFESPAN_SECONDS
+
+# In-memory file registry (reference app.py:28-31 carries the same
+# restart-loses-state caveat; swap for redis/etc. in a multi-worker deploy).
+_file_cache: Dict[str, Dict[str, Any]] = {}
+_server_start_time = monotonic()
+
+app = App()
+
+
+@app.get("/api/v1/health")
+async def health() -> HealthResponse:
+    """Health check for load balancers and monitors."""
+    return HealthResponse(status="healthy", uptime=int(monotonic() - _server_start_time))
+
+
+@app.post("/api/v1/synthesize")
+async def synthesize_stream(data: SynthesizeRequest) -> Stream:
+    """Synthesize and stream the audio bytes inline."""
+    audio_bytes, _, _ = await synthesize_async(
+        text=data.text,
+        speed=data.speed,
+        gender=data.gender,
+        group=data.group,
+        area=data.area,
+        emotion=data.emotion,
+        sample_iteration=data.sample_iteration,
+    )
+    return Stream(
+        content=iter([audio_bytes]),
+        media_type=f"audio/{data.output_format}",
+        headers={
+            "Content-Disposition": f'inline; filename="speech.{data.output_format}"'
+        },
+    )
+
+
+@app.post("/api/v1/synthesize/file")
+async def synthesize_to_file(data: SynthesizeRequest) -> SynthesizeFileResponse:
+    """Synthesize to a temp file and return a download URL + metadata."""
+    audio_bytes, sr, dur = await synthesize_async(
+        text=data.text,
+        speed=data.speed,
+        gender=data.gender,
+        group=data.group,
+        area=data.area,
+        emotion=data.emotion,
+        sample_iteration=data.sample_iteration,
+    )
+    file_id = uuid4().hex[:10]
+    file_path = TMP_DIR / f"{file_id}.{data.output_format}"
+    file_path.write_bytes(audio_bytes)
+    _file_cache[file_id] = {"path": file_path, "format": data.output_format}
+    return SynthesizeFileResponse(
+        download_url=f"/api/v1/download/{file_id}",
+        duration_seconds=round(dur, 2),
+        sample_rate=sr,
+        format=data.output_format,
+        file_size_bytes=len(audio_bytes),
+    )
+
+
+@app.get("/api/v1/download/{file_id}")
+async def download_file(file_id: str) -> File:
+    """Serve a previously generated file; 404 when unknown or expired."""
+    cached = _file_cache.get(file_id)
+    if not cached or not cached["path"].exists():
+        raise NotFoundException(f"File with ID '{file_id}' not found or has expired.")
+    return File(
+        path=cached["path"],
+        media_type=f"audio/{cached['format']}",
+        filename=f"speech_{file_id}.{cached['format']}",
+        content_disposition_type="attachment",
+    )
+
+
+@app.post("/api/v1/synthesize/download")
+async def synthesize_and_download(data: SynthesizeRequest) -> Stream:
+    """Synthesize and stream as an attachment; cleans old files afterwards."""
+    audio_bytes, _, _ = await synthesize_async(
+        text=data.text,
+        speed=data.speed,
+        gender=data.gender,
+        group=data.group,
+        area=data.area,
+        emotion=data.emotion,
+        sample_iteration=data.sample_iteration,
+    )
+
+    async def cleanup_task():
+        await cleanup_old_files(TMP_DIR)
+
+    return Stream(
+        content=iter([audio_bytes]),
+        media_type=f"audio/{data.output_format}",
+        headers={"Content-Disposition": 'attachment; filename="synthesis_result.wav"'},
+        background=cleanup_task,
+    )
+
+
+async def cleanup_old_files(directory: Path) -> None:
+    """Delete files older than FILE_LIFESPAN seconds."""
+    log.info("Running cleanup task on directory: %s", directory)
+    now = time.time()
+    for filename in os.listdir(directory):
+        file_path = directory / filename
+        if file_path.is_file():
+            try:
+                if now - os.path.getmtime(file_path) > FILE_LIFESPAN:
+                    os.remove(file_path)
+                    log.info("Deleted old file: %s", file_path)
+            except (OSError, FileNotFoundError) as e:
+                log.warning("Error deleting file %s: %s", file_path, e)

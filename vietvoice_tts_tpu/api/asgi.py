@@ -1,0 +1,272 @@
+"""Minimal ASGI micro-framework.
+
+The reference leans on Litestar for routing/validation/streaming
+(``/root/reference/vietvoicetts/api/app.py``). Litestar isn't available in
+this image, so this module provides the small subset the TTS API needs as
+first-party code — route decorators with path parameters, pydantic request
+validation (422 on failure), JSON / streaming / file responses, background
+tasks after the response, and an in-process async test client. It speaks
+plain ASGI, so production serving works under uvicorn unchanged.
+"""
+
+from __future__ import annotations
+
+import inspect
+import json
+import re
+from pathlib import Path
+from typing import Any, Awaitable, Callable, Dict, Iterable, Optional
+
+import pydantic
+
+from ..utils.logging import get_logger
+
+log = get_logger("asgi")
+
+
+class HTTPException(Exception):
+    def __init__(self, status_code: int, detail: str = ""):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+class NotFoundException(HTTPException):
+    def __init__(self, detail: str = "Not Found"):
+        super().__init__(404, detail)
+
+
+class Response:
+    def __init__(
+        self,
+        content: bytes | str = b"",
+        status_code: int = 200,
+        media_type: str = "application/json",
+        headers: Optional[Dict[str, str]] = None,
+        background: Optional[Callable[[], Awaitable[None]]] = None,
+    ):
+        self.body = content.encode() if isinstance(content, str) else content
+        self.status_code = status_code
+        self.media_type = media_type
+        self.headers = headers or {}
+        self.background = background
+
+
+class JSONResponse(Response):
+    def __init__(self, data: Any, status_code: int = 200, **kw):
+        if isinstance(data, pydantic.BaseModel):
+            body = data.model_dump_json()
+        else:
+            body = json.dumps(data)
+        super().__init__(body, status_code, "application/json", **kw)
+
+
+class Stream(Response):
+    """Byte-iterable response (reference uses litestar.response.Stream)."""
+
+    def __init__(
+        self,
+        content: Iterable[bytes],
+        media_type: str = "application/octet-stream",
+        headers: Optional[Dict[str, str]] = None,
+        background: Optional[Callable[[], Awaitable[None]]] = None,
+        status_code: int = 200,
+    ):
+        super().__init__(b"", status_code, media_type, headers, background)
+        self.chunks = content
+
+
+class File(Response):
+    """File download response (reference uses litestar.response.File)."""
+
+    def __init__(
+        self,
+        path: str | Path,
+        media_type: str = "application/octet-stream",
+        filename: Optional[str] = None,
+        content_disposition_type: str = "attachment",
+        status_code: int = 200,
+    ):
+        p = Path(path)
+        if not p.exists():
+            raise NotFoundException(f"File not found: {path}")
+        headers = {
+            "Content-Disposition": (
+                f'{content_disposition_type}; filename="{filename or p.name}"'
+            )
+        }
+        super().__init__(p.read_bytes(), status_code, media_type, headers)
+
+
+_PARAM_RE = re.compile(r"\{(\w+)(?::\w+)?\}")
+
+
+class Route:
+    def __init__(self, method: str, path: str, handler: Callable):
+        self.method = method
+        self.handler = handler
+        pattern = _PARAM_RE.sub(r"(?P<\1>[^/]+)", path)
+        self.regex = re.compile(f"^{pattern}$")
+        # The pydantic model annotated on a parameter named 'data', if any.
+        # typing.get_type_hints resolves string annotations (PEP 563 modules).
+        import typing
+
+        self.body_model = None
+        try:
+            hints = typing.get_type_hints(handler)
+        except Exception:
+            hints = {
+                n: p.annotation
+                for n, p in inspect.signature(handler).parameters.items()
+            }
+        ann = hints.get("data")
+        if isinstance(ann, type) and issubclass(ann, pydantic.BaseModel):
+            self.body_model = ann
+
+
+class App:
+    """ASGI application with decorator-based routing."""
+
+    def __init__(self):
+        self.routes: list[Route] = []
+
+    def get(self, path: str, **_ignored):
+        def deco(fn):
+            self.routes.append(Route("GET", path, fn))
+            return fn
+
+        return deco
+
+    def post(self, path: str, **_ignored):
+        def deco(fn):
+            self.routes.append(Route("POST", path, fn))
+            return fn
+
+        return deco
+
+    # -- request handling ----------------------------------------------------
+
+    async def _dispatch(self, method: str, path: str, body: bytes) -> Response:
+        path_matched = False
+        for route in self.routes:
+            m = route.regex.match(path)
+            if not m:
+                continue
+            path_matched = True
+            if route.method != method:
+                continue
+            kwargs: Dict[str, Any] = dict(m.groupdict())
+            if route.body_model is not None:
+                try:
+                    payload = json.loads(body or b"{}")
+                except json.JSONDecodeError:
+                    return JSONResponse({"detail": "Invalid JSON body"}, 400)
+                try:
+                    kwargs["data"] = route.body_model.model_validate(payload)
+                except pydantic.ValidationError as e:
+                    return JSONResponse(
+                        {"detail": "Validation failed", "extra": e.errors(include_url=False)},
+                        422,
+                    )
+            try:
+                result = await route.handler(**kwargs)
+            except HTTPException as e:
+                return JSONResponse({"detail": e.detail}, e.status_code)
+            except Exception as e:  # noqa: BLE001 — server boundary
+                log.error("Handler error on %s %s: %s", method, path, e)
+                return JSONResponse({"detail": f"Internal Server Error: {e}"}, 500)
+            if isinstance(result, Response):
+                return result
+            return JSONResponse(result)
+        if path_matched:
+            return JSONResponse({"detail": "Method Not Allowed"}, 405)
+        return JSONResponse({"detail": "Not Found"}, 404)
+
+    # -- ASGI ----------------------------------------------------------------
+
+    async def __call__(self, scope, receive, send):
+        if scope["type"] == "lifespan":
+            while True:
+                message = await receive()
+                if message["type"] == "lifespan.startup":
+                    await send({"type": "lifespan.startup.complete"})
+                elif message["type"] == "lifespan.shutdown":
+                    await send({"type": "lifespan.shutdown.complete"})
+                    return
+        if scope["type"] != "http":
+            return
+        body = b""
+        while True:
+            message = await receive()
+            body += message.get("body", b"")
+            if not message.get("more_body"):
+                break
+        resp = await self._dispatch(scope["method"], scope["path"], body)
+        headers = [(b"content-type", resp.media_type.encode())]
+        headers += [(k.encode(), v.encode()) for k, v in resp.headers.items()]
+        await send(
+            {"type": "http.response.start", "status": resp.status_code, "headers": headers}
+        )
+        if isinstance(resp, Stream):
+            for chunk in resp.chunks:
+                await send({"type": "http.response.body", "body": chunk, "more_body": True})
+            await send({"type": "http.response.body", "body": b"", "more_body": False})
+        else:
+            await send({"type": "http.response.body", "body": resp.body})
+        if resp.background is not None:
+            try:
+                await resp.background()
+            except Exception as e:  # noqa: BLE001 — background best-effort
+                log.warning("Background task failed: %s", e)
+
+
+class TestResponse:
+    def __init__(self, status_code: int, body: bytes, headers: Dict[str, str]):
+        self.status_code = status_code
+        self.content = body
+        self.headers = headers
+
+    def json(self):
+        return json.loads(self.content)
+
+
+class AsyncTestClient:
+    """In-process ASGI client (like litestar.testing.AsyncTestClient)."""
+
+    def __init__(self, app: App):
+        self.app = app
+
+    async def __aenter__(self):
+        return self
+
+    async def __aexit__(self, *exc):
+        return False
+
+    async def request(self, method: str, path: str, json_body: Any = None) -> TestResponse:
+        body = json.dumps(json_body).encode() if json_body is not None else b""
+        sent: Dict[str, Any] = {"status": 500, "headers": {}, "body": b""}
+        received = [
+            {"type": "http.request", "body": body, "more_body": False}
+        ]
+
+        async def receive():
+            return received.pop(0) if received else {"type": "http.disconnect"}
+
+        async def send(message):
+            if message["type"] == "http.response.start":
+                sent["status"] = message["status"]
+                sent["headers"] = {
+                    k.decode(): v.decode() for k, v in message.get("headers", [])
+                }
+            elif message["type"] == "http.response.body":
+                sent["body"] += message.get("body", b"")
+
+        scope = {"type": "http", "method": method, "path": path}
+        await self.app(scope, receive, send)
+        return TestResponse(sent["status"], sent["body"], sent["headers"])
+
+    async def get(self, path: str) -> TestResponse:
+        return await self.request("GET", path)
+
+    async def post(self, path: str, json: Any = None) -> TestResponse:
+        return await self.request("POST", path, json_body=json)

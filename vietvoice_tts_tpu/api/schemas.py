@@ -1,0 +1,88 @@
+"""Pydantic request/response schemas.
+
+Field-for-field parity with the reference
+(``/root/reference/vietvoicetts/api/schemas.py:6-81``): voice enums, health
+response, synthesize request (text 1–1000 chars, speed 0.25–2.0 default 0.9,
+output_format "wav", optional voice filters, sample_iteration ≥ 0), and the
+file-synthesis response.
+"""
+
+from __future__ import annotations
+
+from enum import Enum
+from typing import Literal, Optional
+
+from pydantic import BaseModel, Field
+
+
+class Gender(str, Enum):
+    MALE = "male"
+    FEMALE = "female"
+
+
+class Group(str, Enum):
+    STORY = "story"
+    NEWS = "news"
+    AUDIOBOOK = "audiobook"
+    INTERVIEW = "interview"
+    REVIEW = "review"
+
+
+class Area(str, Enum):
+    NORTHERN = "northern"
+    SOUTHERN = "southern"
+    CENTRAL = "central"
+
+
+class Emotion(str, Enum):
+    NEUTRAL = "neutral"
+    SERIOUS = "serious"
+    MONOTONE = "monotone"
+    SAD = "sad"
+    SURPRISED = "surprised"
+    HAPPY = "happy"
+    ANGRY = "angry"
+
+
+class HealthResponse(BaseModel):
+    """Health check payload."""
+
+    status: Literal["healthy"]
+    uptime: int = Field(..., description="Uptime of the server in seconds.")
+
+
+class SynthesizeRequest(BaseModel):
+    """Request body for speech synthesis."""
+
+    text: str = Field(
+        ...,
+        min_length=1,
+        max_length=1000,
+        description="The text to be synthesized into speech.",
+    )
+    speed: float = Field(
+        0.9, ge=0.25, le=2.0, description="Speech speed. 0.9 is normal speed."
+    )
+    output_format: Literal["wav"] = Field("wav", description="Output audio format.")
+    gender: Optional[Gender] = Field(None, description="Filter voice by gender.")
+    group: Optional[Group] = Field(None, description="Filter voice by group/style.")
+    area: Optional[Area] = Field(None, description="Filter voice by regional accent.")
+    emotion: Optional[Emotion] = Field(None, description="Filter voice by emotion.")
+    sample_iteration: Optional[int] = Field(
+        None,
+        ge=0,
+        description=(
+            "Choose which iteration of available samples to use (0-based). "
+            "First available sample when unset."
+        ),
+    )
+
+
+class SynthesizeFileResponse(BaseModel):
+    """Response for synthesis-to-file requests."""
+
+    download_url: str = Field(..., description="URL to download the audio file.")
+    duration_seconds: float = Field(..., description="Audio duration in seconds.")
+    sample_rate: int = Field(..., description="Sample rate in Hz.")
+    format: str = Field(..., description="Audio format.")
+    file_size_bytes: int = Field(..., description="File size in bytes.")

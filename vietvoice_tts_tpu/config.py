@@ -1,0 +1,197 @@
+"""Configuration for the TPU-native VietVoice TTS framework.
+
+Mirrors the behavioral surface of the reference's ``ModelConfig``
+(``/root/reference/vietvoicetts/core/model_config.py:22-153``): same defaults
+(nfe_step=32, speed=0.9, seed=9527, sample_rate=24000, hop_length=256, voice
+defaults, pause punctuation, chunking limits), same validation ranges, same
+``from_dict``/``to_dict`` round-trip and the ``TTSConfig`` alias — but extends
+it with the TPU architecture/runtime knobs that replace ONNX session options:
+model dims, dtype policy, shape buckets, mesh axes, and a local weight store
+instead of an ONNX tarball download.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+# Voice metadata constants — same taxonomy as the reference
+# (/root/reference/vietvoicetts/core/model_config.py:15-18).
+MODEL_GENDER = ["male", "female"]
+MODEL_GROUP = ["story", "news", "audiobook", "interview", "review"]
+MODEL_AREA = ["northern", "southern", "central"]
+MODEL_EMOTION = ["neutral", "serious", "monotone", "sad", "surprised", "happy", "angry"]
+
+DETERMINISTIC_SEED = 9527
+
+
+@dataclass
+class ModelConfig:
+    """Config for TTS inference on TPU."""
+
+    # ---- Sampling / synthesis settings (reference-compatible) ----
+    nfe_step: int = 32
+    fuse_nfe: int = 1
+    sample_rate: int = 24000
+    speed: float = 0.9
+    random_seed: int = DETERMINISTIC_SEED
+    hop_length: int = 256
+    cfg_strength: float = 2.0
+    sway_sampling_coef: float = -1.0
+
+    # ---- Sample selection defaults (reference model_config.py:37-40) ----
+    gender: Optional[str] = "female"
+    area: Optional[str] = "northern"
+    emotion: Optional[str] = "neutral"
+    group: Optional[str] = "audiobook"
+
+    # ---- Text processing ----
+    pause_punctuation: str = r".,?!:"
+
+    # ---- Audio / chunking (reference model_config.py:46-48) ----
+    cross_fade_duration: float = 0.1
+    max_chunk_duration: float = 20.0
+    min_target_duration: float = 1.0
+
+    # ---- Mel front-end (Vocos-style, F5-TTS family) ----
+    n_mels: int = 100
+    n_fft: int = 1024
+    win_length: int = 1024
+
+    # ---- DiT architecture ----
+    dit_dim: int = 1024
+    dit_depth: int = 22
+    dit_heads: int = 16
+    dit_ff_mult: int = 2
+    text_dim: int = 512
+    text_conv_layers: int = 4
+    vocab_size: int = 256  # overridden by the vocab file at load time
+
+    # ---- Vocoder (ConvNeXt + iSTFT head) ----
+    vocoder_dim: int = 512
+    vocoder_intermediate_dim: int = 1536
+    vocoder_num_layers: int = 8
+
+    # ---- TPU runtime policy (replaces ORT session options,
+    #      reference model_config.py:51-55) ----
+    compute_dtype: str = "bfloat16"  # matmul/activation dtype inside the DiT
+    param_dtype: str = "float32"  # master parameter dtype on HBM
+    # Static mel-frame buckets: every chunk is padded up to one of these so
+    # XLA compiles a bounded set of programs (no dynamic shapes on TPU).
+    frame_buckets: tuple[int, ...] = (256, 512, 1024, 2048)
+    text_buckets: tuple[int, ...] = (128, 256, 512, 1024)
+    max_batch_size: int = 8
+    use_pallas: bool = True  # fused Pallas kernels where available (TPU only)
+    donate_sampler_state: bool = True
+    jax_compilation_cache_dir: Optional[str] = None
+
+    # ---- Mesh / parallelism ----
+    mesh_data_axis: int = 1  # utterance/chunk batch parallelism
+    mesh_model_axis: int = 1  # tensor parallelism for DiT + vocoder
+
+    # ---- Weight store (replaces the ONNX tarball download,
+    #      reference model_config.py:26-28,71-104) ----
+    model_cache_dir: str = field(
+        default_factory=lambda: os.environ.get("VIETVOICE_TPU_CACHE", "models")
+    )
+    model_name: str = "vietvoice-tpu-v1"
+    # Optional path to the reference's ONNX tarball for weight conversion /
+    # numerics golden tests; unused when absent.
+    onnx_model_path: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        # Same validation ranges as the reference (model_config.py:57-63).
+        if not 0.1 <= self.speed <= 5.0:
+            raise ValueError("Speed must be between 0.1 and 5.0")
+        if not 1 <= self.nfe_step <= 100:
+            raise ValueError("NFE step must be between 1 and 100")
+        if self.dit_dim % self.dit_heads != 0:
+            raise ValueError("dit_dim must be divisible by dit_heads")
+        if self.n_fft % self.hop_length != 0:
+            raise ValueError("n_fft must be a multiple of hop_length")
+        if tuple(self.frame_buckets) != tuple(sorted(self.frame_buckets)):
+            raise ValueError("frame_buckets must be sorted ascending")
+
+    # -- Derived properties --------------------------------------------------
+
+    @property
+    def head_dim(self) -> int:
+        return self.dit_dim // self.dit_heads
+
+    @property
+    def model_path(self) -> str:
+        """Directory holding the converted/initialized weight pack."""
+        return str(Path(self.model_cache_dir).expanduser() / self.model_name)
+
+    @property
+    def max_frames(self) -> int:
+        return self.frame_buckets[-1]
+
+    def frame_bucket_for(self, n_frames: int) -> int:
+        """Smallest static bucket that fits ``n_frames`` (clamps to max)."""
+        for b in self.frame_buckets:
+            if n_frames <= b:
+                return b
+        return self.frame_buckets[-1]
+
+    def text_bucket_for(self, n_chars: int) -> int:
+        for b in self.text_buckets:
+            if n_chars <= b:
+                return b
+        return self.text_buckets[-1]
+
+    # -- Validation against a reference audio file ---------------------------
+
+    def validate_with_reference_audio(self, reference_audio_path: str) -> bool:
+        """Check that a reference clip leaves room for ``min_target_duration``
+        inside ``max_chunk_duration`` (reference model_config.py:114-141)."""
+        from .utils.logging import get_logger
+        from .utils.wavio import read_wav
+
+        log = get_logger("config")
+        try:
+            samples, sr = read_wav(reference_audio_path)
+            ref_duration = samples.shape[0] / float(sr)
+            safety_margin = 1.0
+            required = ref_duration + safety_margin + self.min_target_duration
+            if self.max_chunk_duration < required:
+                log.error(
+                    "Configuration error: reference audio %.1fs needs "
+                    "max_chunk_duration > %.1fs (current %.1fs)",
+                    ref_duration,
+                    required,
+                    self.max_chunk_duration,
+                )
+                return False
+            log.info(
+                "Configuration valid: reference %.1fs, max chunk %.1fs, "
+                "available target %.1fs",
+                ref_duration,
+                self.max_chunk_duration,
+                self.max_chunk_duration - ref_duration - safety_margin,
+            )
+            return True
+        except Exception as exc:  # noqa: BLE001 — mirror reference behavior
+            log.error("Error validating reference audio: %s", exc)
+            return False
+
+    # -- Dict round-trip (reference model_config.py:143-153) -----------------
+
+    @classmethod
+    def from_dict(cls, config_dict: dict) -> "ModelConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in config_dict.items() if k in known})
+
+    def to_dict(self) -> dict:
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            out[f.name] = tuple(v) if isinstance(v, (list, tuple)) else v
+        return out
+
+
+# Backward-compatibility alias, as in the reference (model_config.py:157).
+TTSConfig = ModelConfig

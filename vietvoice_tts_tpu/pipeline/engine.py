@@ -1,0 +1,317 @@
+"""TTS synthesis orchestrator.
+
+Public surface mirrors the reference ``TTSEngine``
+(``/root/reference/vietvoicetts/core/tts_engine.py:17-268``): same
+constructor/context-manager/cleanup, same ``synthesize(...)`` signature and
+``(int16 waveform, generation_time)`` return, same duration-estimation and
+chunking policy (speaking-rate from the reference clip, 20 s chunk cap, 1 s
+safety margin, recursive re-split). The execution model is different by
+design: chunks are *batched into static shape buckets* and dispatched as one
+fused XLA program per bucket (EngineCore), instead of a sequential
+per-chunk × per-NFE-step Python loop.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import ModelConfig
+from ..runtime.engine_core import EngineCore
+from ..runtime.session import ModelSessionManager
+from ..utils.logging import get_logger
+from .audio import AudioProcessor
+from .text import TextProcessor
+
+log = get_logger("engine")
+
+
+@dataclass
+class ChunkPlan:
+    """One synthesis chunk, padded into a static (frame-bucket) shape."""
+
+    index: int
+    text: str
+    ref_len: int  # reference frames
+    total_len: int  # reference + target frames (un-padded)
+    bucket: int  # padded frame count (static shape)
+
+
+class TTSEngine:
+    """Main TTS engine for TPU inference."""
+
+    def __init__(self, config: Optional[ModelConfig] = None, mesh=None):
+        self.config = config or ModelConfig()
+        self.model_session_manager = ModelSessionManager(self.config)
+        self.model_session_manager.load_models()
+
+        if not self.model_session_manager.vocab_path:
+            raise RuntimeError("Vocabulary file not found in weight pack")
+
+        self.text_processor = TextProcessor(self.model_session_manager.vocab_path)
+        self.audio_processor = AudioProcessor()
+        self.mesh = mesh
+        self.engine_core = EngineCore(
+            self.config,
+            self.model_session_manager.params,
+            self.model_session_manager.vocab_size,
+            mesh=mesh,
+        )
+        self.sample_cache: dict = {}
+
+    # -- Lifecycle -----------------------------------------------------------
+
+    def cleanup(self) -> None:
+        if self.model_session_manager:
+            self.model_session_manager.cleanup()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.cleanup()
+
+    # -- Input preparation (policy parity with reference :43-131) ------------
+
+    def _plan_chunks(
+        self,
+        ref_audio_f32: np.ndarray,
+        reference_text: str,
+        target_text: str,
+        speed: Optional[float] = None,
+    ) -> List[ChunkPlan]:
+        cfg = self.config
+        tp = self.text_processor
+        speed = cfg.speed if speed is None else speed
+
+        reference_text = tp.clean_text(reference_text)
+        target_text = tp.clean_text(target_text)
+
+        ref_text_len = tp.calculate_text_length(reference_text, cfg.pause_punctuation)
+        ref_audio_len = len(ref_audio_f32) // cfg.hop_length + 1
+        ref_audio_duration = len(ref_audio_f32) / cfg.sample_rate
+        speaking_rate = (
+            ref_text_len / ref_audio_duration if ref_audio_duration > 0 else 100.0
+        )
+
+        target_text_len = tp.calculate_text_length(target_text, cfg.pause_punctuation)
+        target_duration = max(
+            target_text_len / speaking_rate / speed, cfg.min_target_duration
+        )
+        total_estimated = ref_audio_duration + target_duration
+
+        if total_estimated <= cfg.max_chunk_duration:
+            chunks = [target_text]
+            log.info(
+                "Single chunk: estimated %.1fs (ref %.1fs + target %.1fs)",
+                total_estimated,
+                ref_audio_duration,
+                target_duration,
+            )
+        else:
+            safety_margin = 1.0
+            available = cfg.max_chunk_duration - ref_audio_duration - safety_margin
+            if available <= 0:
+                raise ValueError(
+                    f"Reference audio duration ({ref_audio_duration:.1f}s) exceeds "
+                    f"max chunk duration ({cfg.max_chunk_duration}s)"
+                )
+            max_chars = int(speaking_rate * available * speed)
+            raw_chunks = tp.chunk_text(target_text, max_chars=max_chars)
+            chunks = []
+            for chunk in raw_chunks:
+                c_len = tp.calculate_text_length(chunk, cfg.pause_punctuation)
+                c_dur = max(c_len / speaking_rate / speed, cfg.min_target_duration)
+                if ref_audio_duration + c_dur <= cfg.max_chunk_duration:
+                    chunks.append(chunk)
+                else:
+                    log.warning(
+                        "Chunk too long (%.1fs), splitting further...",
+                        ref_audio_duration + c_dur,
+                    )
+                    smaller = int(len(chunk) * available / c_dur * 0.9)
+                    chunks.extend(tp.chunk_text(chunk, max_chars=smaller))
+            log.info(
+                "Long text (est. %.1fs): %d chunks, %.1fs available per chunk",
+                total_estimated,
+                len(chunks),
+                available,
+            )
+
+        plans: List[ChunkPlan] = []
+        for i, chunk in enumerate(chunks):
+            c_len = tp.calculate_text_length(chunk, cfg.pause_punctuation)
+            c_dur = max(c_len / speaking_rate / speed, cfg.min_target_duration)
+            target_frames = int(c_dur * cfg.sample_rate) // cfg.hop_length + 1
+            total_len = ref_audio_len + target_frames
+            bucket = cfg.frame_bucket_for(total_len)
+            ref_len_eff = ref_audio_len
+            if total_len > bucket:
+                # Largest bucket overflow: keep the target region intact and
+                # truncate the reference prefix so output is never empty.
+                target_frames = min(target_frames, bucket - 1)
+                ref_len_eff = min(ref_audio_len, bucket - target_frames)
+                total_len = ref_len_eff + target_frames
+                log.warning(
+                    "Chunk %d exceeds largest bucket %d; ref %d→%d frames, "
+                    "target %d frames",
+                    i,
+                    bucket,
+                    ref_audio_len,
+                    ref_len_eff,
+                    target_frames,
+                )
+            plans.append(
+                ChunkPlan(
+                    index=i,
+                    text=reference_text + chunk,
+                    ref_len=ref_len_eff,
+                    total_len=total_len,
+                    bucket=bucket,
+                )
+            )
+            log.info(
+                "Chunk %d/%d: %d chars, %d frames (ref %d) → bucket %d",
+                i + 1,
+                len(chunks),
+                len(chunk),
+                total_len,
+                ref_audio_len,
+                bucket,
+            )
+        return plans
+
+    # -- Batched execution ---------------------------------------------------
+
+    def _batch_sizes(self, n: int) -> List[int]:
+        """Split n chunks into device batches ≤ max_batch_size, padded to the
+        data-parallel axis when a mesh is active."""
+        step = self.config.max_batch_size
+        if self.mesh is not None:
+            from ..parallel.mesh import mesh_axis_sizes
+
+            dp, _ = mesh_axis_sizes(self.mesh)
+            step = max(step - step % dp, dp)
+        sizes = []
+        while n > 0:
+            sizes.append(min(step, n))
+            n -= sizes[-1]
+        return sizes
+
+    def _pad_batch(self, batch: int) -> int:
+        """Round the batch up so it divides evenly over the data axis."""
+        if self.mesh is None:
+            return batch
+        from ..parallel.mesh import mesh_axis_sizes
+
+        dp, _ = mesh_axis_sizes(self.mesh)
+        return -(-batch // dp) * dp
+
+    def _run_chunks(
+        self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray
+    ) -> List[np.ndarray]:
+        """Execute all chunk plans, grouped by frame bucket, batched."""
+        cfg = self.config
+        hop = cfg.hop_length
+        results: dict[int, np.ndarray] = {}
+
+        by_bucket: dict[int, List[ChunkPlan]] = {}
+        for p in plans:
+            by_bucket.setdefault(p.bucket, []).append(p)
+
+        for bucket, group in sorted(by_bucket.items()):
+            pos = 0
+            for bsz in self._batch_sizes(len(group)):
+                batch_plans = group[pos : pos + bsz]
+                pos += bsz
+                padded = self._pad_batch(len(batch_plans))
+                wave = np.zeros((padded, bucket * hop), np.float32)
+                ref_len = np.zeros((padded,), np.int32)
+                total_len = np.ones((padded,), np.int32)
+                text_ids = np.full((padded, bucket), -1, np.int32)
+                n_ref = min(len(ref_audio_f32), bucket * hop)
+                for row, p in enumerate(batch_plans):
+                    wave[row, :n_ref] = ref_audio_f32[:n_ref]
+                    ref_len[row] = p.ref_len
+                    total_len[row] = p.total_len
+                    ids, _ = self.text_processor.encode_padded(p.text, bucket)
+                    text_ids[row] = ids
+                seeds = np.zeros((padded,), np.uint32)
+                seeds[: len(batch_plans)] = [p.index for p in batch_plans]
+                out = self.engine_core.synthesize_batch(
+                    wave, ref_len, text_ids, total_len, seed=seeds
+                )
+                for row, p in enumerate(batch_plans):
+                    start = p.ref_len * hop
+                    end = p.total_len * hop
+                    seg = np.clip(out[row, start:end], -1.0, 1.0)
+                    results[p.index] = (seg * 32767.0).astype(np.int16)
+
+        return [results[i] for i in sorted(results)]
+
+    # -- Public API (parity with reference :189-257) -------------------------
+
+    def synthesize(
+        self,
+        text: str,
+        gender: Optional[str] = None,
+        group: Optional[str] = None,
+        area: Optional[str] = None,
+        emotion: Optional[str] = None,
+        sample_iteration: Optional[int] = None,
+        output_path: Optional[str] = None,
+        reference_audio: Optional[str] = None,
+        reference_text: Optional[str] = None,
+        speed: Optional[float] = None,
+    ) -> Tuple[np.ndarray, float]:
+        """Synthesize speech → (int16 waveform, generation_time_seconds).
+
+        ``speed`` overrides ``config.speed`` per request — the reference
+        instead mutates the shared config around each API call and documents
+        the race (``api/tts_engine.py:64-69``); passing it as an argument
+        removes that race entirely.
+        """
+        start_time = time.time()
+
+        ref_audio, ref_text = self.model_session_manager.select_sample(
+            gender, group, area, emotion, sample_iteration, reference_audio, reference_text
+        )
+
+        try:
+            ref_int16 = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
+            ref_f32 = ref_int16.astype(np.float32) / 32768.0
+
+            plans = self._plan_chunks(ref_f32, ref_text, text, speed=speed)
+            generated_waves = self._run_chunks(plans, ref_f32)
+
+            if len(generated_waves) > 1:
+                log.info(
+                    "Concatenating %d chunks with cross-fade (%.2fs)...",
+                    len(generated_waves),
+                    self.config.cross_fade_duration,
+                )
+            final_wave = self.audio_processor.concatenate_with_crossfade_improved(
+                generated_waves, self.config.cross_fade_duration, self.config.sample_rate
+            )
+
+            generation_time = time.time() - start_time
+
+            if output_path:
+                self.audio_processor.save_audio(
+                    final_wave, output_path, self.config.sample_rate
+                )
+                log.info("Audio saved to: %s", output_path)
+
+            return final_wave, generation_time
+        except Exception as e:
+            raise RuntimeError(f"Speech synthesis failed: {str(e)}") from e
+
+    def validate_configuration(self, reference_audio: Optional[str] = None) -> bool:
+        """Validate configuration with reference audio (reference :259-268)."""
+        if reference_audio is None:
+            log.info("Configuration valid: using built-in voice samples")
+            return True
+        return self.config.validate_with_reference_audio(reference_audio)

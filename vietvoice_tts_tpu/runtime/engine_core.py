@@ -1,0 +1,207 @@
+"""The jitted synthesis core and its compiled-program cache.
+
+This is the TPU replacement for the reference's three ORT sessions + Python
+NFE loop (``/root/reference/vietvoicetts/core/tts_engine.py:133-187``): one
+XLA program per (batch, frame-bucket) fuses the entire chunk pipeline —
+
+    waveform → log-mel cond → scan(NFE × CFG-doubled DiT) → vocoder → waveform
+
+so a chunk costs exactly one host→device→host round trip. The cache keyed by
+static shapes plays the role of ORT's session map (``core/model.py:104``),
+bounded because all inputs are padded into config-declared buckets.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..models.dit import DiTConfig, dit_forward
+from ..models.sampler import SamplerConfig, flow_matching_sample
+from ..models.vocoder import VocoderConfig, vocoder_forward
+from ..ops.stft import MelFrontend
+from ..utils.logging import StageTimer, get_logger
+
+log = get_logger("engine_core")
+
+
+def _enable_persistent_compile_cache(config: ModelConfig) -> None:
+    """Point XLA's persistent compilation cache at a stable directory.
+
+    The DiT scan program takes minutes to compile on a small host; the
+    on-disk cache makes every (batch, bucket) shape compile once per
+    machine — the TPU analogue of ORT's one-time graph build
+    (reference core/model.py:98-102)."""
+    import os
+
+    cache_dir = (
+        config.jax_compilation_cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/vietvoice-tts-tpu/xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as e:  # pragma: no cover — cache is best-effort
+        log.warning("Could not enable persistent compile cache: %s", e)
+
+
+class EngineCore:
+    """Owns device parameters, model configs, and the jit cache."""
+
+    def __init__(self, config: ModelConfig, params, vocab_size: int, mesh=None):
+        self.config = config
+        _enable_persistent_compile_cache(config)
+        self.vocab_size = vocab_size
+        self.mesh = mesh
+        on_tpu = jax.default_backend() == "tpu"
+        self.dit_cfg = DiTConfig(
+            dim=config.dit_dim,
+            depth=config.dit_depth,
+            heads=config.dit_heads,
+            ff_mult=config.dit_ff_mult,
+            n_mels=config.n_mels,
+            text_dim=config.text_dim,
+            text_conv_layers=config.text_conv_layers,
+            vocab_size=vocab_size,
+            compute_dtype=jnp.dtype(config.compute_dtype),
+            use_pallas=config.use_pallas and on_tpu,
+        )
+        self.voc_cfg = VocoderConfig(
+            dim=config.vocoder_dim,
+            intermediate_dim=config.vocoder_intermediate_dim,
+            num_layers=config.vocoder_num_layers,
+            n_mels=config.n_mels,
+            n_fft=config.n_fft,
+            hop_length=config.hop_length,
+            compute_dtype=jnp.dtype(config.compute_dtype),
+        )
+        self.sampler_cfg = SamplerConfig(
+            nfe_step=config.nfe_step,
+            cfg_strength=config.cfg_strength,
+            sway_sampling_coef=config.sway_sampling_coef,
+        )
+        self.frontend = MelFrontend(
+            sample_rate=config.sample_rate,
+            n_fft=config.n_fft,
+            win_length=config.win_length,
+            hop_length=config.hop_length,
+            n_mels=config.n_mels,
+        )
+        self.params = self._place_params(params)
+        self._jit_cache: Dict[Tuple[int, int], callable] = {}
+        self.timer = StageTimer()
+
+    # -- Parameter placement -------------------------------------------------
+
+    def _place_params(self, params):
+        """Put params on device; shard over the mesh when one is active."""
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            return shard_params(params, self.mesh, self.dit_cfg, self.voc_cfg)
+        return jax.device_put(
+            jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+        )
+
+    # -- The fused chunk program --------------------------------------------
+
+    def _build_chunk_fn(self, batch: int, n_frames: int):
+        """Compile the full chunk pipeline for static (batch, n_frames)."""
+        cfg = self.config
+        dit_cfg, voc_cfg, sampler_cfg = self.dit_cfg, self.voc_cfg, self.sampler_cfg
+        frontend = self.frontend
+
+        def chunk_fn(params, wave, ref_len, text_ids, total_len, row_seeds):
+            # wave: [B, n_frames*hop] f32; ref_len/total_len: [B] i32;
+            # text_ids: [B, n_frames] i32 (-1 padded); row_seeds: [B] u32.
+            mel = frontend(wave)  # [B, N, n_mels]
+            frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
+            is_ref = frame_idx[None, :] < ref_len[:, None]
+            mask = frame_idx[None, :] < total_len[:, None]
+            cond = jnp.where(is_ref[..., None], mel, 0.0)
+            key = jax.random.PRNGKey(cfg.random_seed)
+            latent = flow_matching_sample(
+                params["dit"], dit_cfg, sampler_cfg, key, cond, text_ids, mask,
+                row_seeds,
+            )
+            # Keep the reference prefix at its ground-truth mel for the
+            # vocoder's receptive field, zero out padding frames.
+            latent = jnp.where(is_ref[..., None], mel, latent)
+            latent = jnp.where(mask[..., None], latent, 0.0)
+            wav = vocoder_forward(params["vocoder"], voc_cfg, latent)
+            return wav  # [B, n_frames*hop] f32
+
+        # Committed input shardings (params TP-sharded, batch data-sharded)
+        # propagate through GSPMD — no per-program annotation needed.
+        return jax.jit(chunk_fn)
+
+    def chunk_fn(self, batch: int, n_frames: int):
+        key = (batch, n_frames)
+        if key not in self._jit_cache:
+            t0 = time.perf_counter()
+            self._jit_cache[key] = self._build_chunk_fn(batch, n_frames)
+            log.debug(
+                "Built chunk program for B=%d N=%d in %.2fs",
+                batch,
+                n_frames,
+                time.perf_counter() - t0,
+            )
+        return self._jit_cache[key]
+
+    # -- Public batch API ----------------------------------------------------
+
+    def synthesize_batch(
+        self,
+        wave: np.ndarray,  # [B, N*hop] float32 in [-1, 1]
+        ref_len: np.ndarray,  # [B] int32 (frames)
+        text_ids: np.ndarray,  # [B, N] int32, -1 padded
+        total_len: np.ndarray,  # [B] int32 (frames, incl. reference)
+        seed: int | np.ndarray = 0,
+    ) -> np.ndarray:
+        """Run one padded batch; returns [B, N*hop] float32 waveforms.
+
+        ``seed`` may be a scalar (applied to every row) or a [B] array of
+        per-utterance seeds; per-row noise derivation makes each row's output
+        independent of batch composition.
+        """
+        b = wave.shape[0]
+        n_frames = wave.shape[1] // self.config.hop_length
+        row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
+        fn = self.chunk_fn(b, n_frames)
+        args = (
+            jnp.asarray(wave, jnp.float32),
+            jnp.asarray(ref_len, jnp.int32),
+            jnp.asarray(text_ids, jnp.int32),
+            jnp.asarray(total_len, jnp.int32),
+            jnp.asarray(row_seeds),
+        )
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            args = shard_batch(self.mesh, *args)
+        with self.timer.stage("chunk_pipeline"):
+            out = fn(self.params, *args)
+            out = np.asarray(jax.block_until_ready(out))
+        return out
+
+    def warmup(self, batches=(1,), buckets=None) -> None:
+        """Ahead-of-time compile the configured shape buckets."""
+        buckets = buckets or self.config.frame_buckets
+        hop = self.config.hop_length
+        for b in batches:
+            for n in buckets:
+                self.synthesize_batch(
+                    np.zeros((b, n * hop), np.float32),
+                    np.full((b,), 8, np.int32),
+                    np.full((b, n), -1, np.int32),
+                    np.full((b,), min(n, 16), np.int32),
+                )
