@@ -1,0 +1,99 @@
+"""Mesh/sharding tests on the 8-device virtual CPU mesh: TP param layouts,
+sharded inference parity with single-device, sharded train step, and the
+driver's dryrun entry."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vietvoice_tts_tpu.models.dit import DiTConfig, dit_forward, init_dit_params
+from vietvoice_tts_tpu.models.vocoder import VocoderConfig, init_vocoder_params
+from vietvoice_tts_tpu.parallel.mesh import make_mesh, mesh_axis_sizes
+from vietvoice_tts_tpu.parallel.sharding import (
+    batch_sharding,
+    param_pspecs,
+    shard_params,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+DIT = DiTConfig(
+    dim=128,
+    depth=2,
+    heads=8,
+    ff_mult=2,
+    n_mels=16,
+    text_dim=64,
+    text_conv_layers=1,
+    vocab_size=32,
+    compute_dtype=jnp.float32,
+    use_pallas=False,
+)
+VOC = VocoderConfig(
+    dim=64, intermediate_dim=128, num_layers=1, n_mels=16, n_fft=256, hop_length=64
+)
+
+
+class TestMesh:
+    def test_shape(self):
+        mesh = make_mesh(data=2, model=4)
+        assert mesh_axis_sizes(mesh) == (2, 4)
+
+    def test_bad_model_axis(self):
+        with pytest.raises(ValueError):
+            make_mesh(model=3)
+
+    def test_default_data_axis(self):
+        mesh = make_mesh(model=2)
+        assert mesh_axis_sizes(mesh) == (len(jax.devices()) // 2, 2)
+
+
+class TestShardings:
+    def test_pspec_tree_matches_params(self):
+        params = {"dit": init_dit_params(0, DIT), "vocoder": init_vocoder_params(1, VOC)}
+        specs = param_pspecs(DIT, VOC)
+        # Same tree structure — tree.map would raise otherwise.
+        jax.tree.map(lambda a, b: None, params, specs,
+                     is_leaf=lambda x: not isinstance(x, (dict, list)))
+
+    def test_qkv_sharded_over_model_axis(self):
+        mesh = make_mesh(data=2, model=4)
+        params = {"dit": init_dit_params(0, DIT), "vocoder": init_vocoder_params(1, VOC)}
+        sharded = shard_params(params, mesh, DIT, VOC)
+        qkv = sharded["dit"]["blocks"][0]["qkv"]["w"]
+        # Output dim split over 4 model shards.
+        shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+        assert shard_shapes == {(DIT.dim, 3 * DIT.dim // 4)}
+
+    def test_sharded_forward_matches_single_device(self):
+        """TP+DP sharded DiT forward == unsharded forward (numerics)."""
+        params = {"dit": init_dit_params(0, DIT), "vocoder": init_vocoder_params(1, VOC)}
+        b, n = 4, 64
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((b, n, DIT.n_mels)).astype(np.float32)
+        cond = np.zeros((b, n, DIT.n_mels), np.float32)
+        text = np.full((b, n), 3, np.int32)
+        t = np.full((b,), 0.3, np.float32)
+        mask = np.ones((b, n), bool)
+
+        ref = np.asarray(
+            dit_forward(params["dit"], DIT, x, cond, text, t, mask)
+        )
+
+        mesh = make_mesh(data=2, model=4)
+        sharded = shard_params(params, mesh, DIT, VOC)
+        args = [
+            jax.device_put(a, batch_sharding(mesh, np.asarray(a).ndim))
+            for a in (x, cond, text, t, mask)
+        ]
+        fn = jax.jit(lambda p, *a: dit_forward(p, DIT, *a))
+        out = np.asarray(fn(sharded["dit"], *args))
+        np.testing.assert_allclose(out, ref, atol=2e-4)
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__
+
+        __graft_entry__.dryrun_multichip(8)

@@ -1,0 +1,130 @@
+"""Micro-batcher tests: batching correctness, cross-request determinism,
+bucket grouping, error propagation, shutdown."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from vietvoice_tts_tpu.serving.batcher import ChunkJob, MicroBatcher
+
+
+def _make_job(core, bucket, seed=0, text_val=5):
+    hop = core.config.hop_length
+    rng = np.random.default_rng(seed)
+    wave = rng.uniform(-0.3, 0.3, bucket * hop).astype(np.float32)
+    ids = np.full((bucket,), -1, np.int32)
+    ids[:32] = text_val
+    return ChunkJob(
+        bucket=bucket,
+        wave=wave,
+        ref_len=16,
+        total_len=bucket - 16,
+        text_ids=ids,
+        seed=seed,
+    )
+
+
+@pytest.fixture
+def core(tiny_engine):
+    return tiny_engine.engine_core
+
+
+class TestMicroBatcher:
+    def test_single_job(self, core):
+        b = MicroBatcher(core, max_batch=4, max_wait_ms=5)
+        try:
+            job = _make_job(core, 128)
+            out = b.submit(job).result(timeout=120)
+            assert out.shape == (128 * core.config.hop_length,)
+        finally:
+            b.shutdown()
+
+    def test_concurrent_jobs_batch_together(self, core):
+        b = MicroBatcher(core, max_batch=4, max_wait_ms=50)
+        try:
+            jobs = [_make_job(core, 128, seed=i) for i in range(4)]
+            futures = [b.submit(j) for j in jobs]
+            outs = [f.result(timeout=120) for f in futures]
+            assert all(o.shape == (128 * core.config.hop_length,) for o in outs)
+            assert b.stats.jobs == 4
+            # With a 50 ms window, at least some jobs shared a dispatch.
+            assert b.stats.batches <= 3
+        finally:
+            b.shutdown()
+
+    def test_batched_equals_solo(self, core):
+        """A request's audio must not depend on its batchmates."""
+        solo = MicroBatcher(core, max_batch=1, max_wait_ms=1)
+        try:
+            ref = solo.submit(_make_job(core, 128, seed=7)).result(timeout=120)
+        finally:
+            solo.shutdown()
+        shared = MicroBatcher(core, max_batch=4, max_wait_ms=100)
+        try:
+            futures = [
+                shared.submit(_make_job(core, 128, seed=s)) for s in (7, 1, 2)
+            ]
+            outs = [f.result(timeout=120) for f in futures]
+        finally:
+            shared.shutdown()
+        np.testing.assert_allclose(ref, outs[0], atol=1e-5)
+
+    def test_mixed_buckets_grouped_separately(self, core):
+        b = MicroBatcher(core, max_batch=4, max_wait_ms=30)
+        try:
+            futures = [
+                b.submit(_make_job(core, bucket, seed=i))
+                for i, bucket in enumerate([128, 256, 128, 256])
+            ]
+            outs = [f.result(timeout=240) for f in futures]
+            hop = core.config.hop_length
+            assert outs[0].shape == (128 * hop,)
+            assert outs[1].shape == (256 * hop,)
+        finally:
+            b.shutdown()
+
+    def test_submit_after_shutdown_raises(self, core):
+        b = MicroBatcher(core, max_batch=2, max_wait_ms=1)
+        b.shutdown()
+        with pytest.raises(RuntimeError):
+            b.submit(_make_job(core, 128))
+
+    def test_engine_integration(self, tiny_engine):
+        """enable_micro_batching routes synthesize through the batcher and
+        produces identical audio to direct mode."""
+        direct, _ = tiny_engine.synthesize("Một câu để so sánh.")
+        batcher = tiny_engine.enable_micro_batching(max_wait_ms=5)
+        try:
+            routed, _ = tiny_engine.synthesize("Một câu để so sánh.")
+            assert batcher.stats.jobs >= 1
+            np.testing.assert_array_equal(direct, routed)
+        finally:
+            tiny_engine.batcher.shutdown()
+            tiny_engine.batcher = None
+
+    def test_concurrent_engine_requests(self, tiny_engine):
+        """Concurrent client threads all get correct, complete audio."""
+        tiny_engine.enable_micro_batching(max_wait_ms=20)
+        results = {}
+        errors = []
+
+        def worker(i):
+            try:
+                wave, _ = tiny_engine.synthesize(f"Câu số {i} trong bài.")
+                results[i] = wave
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=240)
+        try:
+            assert not errors
+            assert len(results) == 4
+            assert all(w.size > 0 for w in results.values())
+        finally:
+            tiny_engine.batcher.shutdown()
+            tiny_engine.batcher = None

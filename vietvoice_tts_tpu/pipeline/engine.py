@@ -61,10 +61,27 @@ class TTSEngine:
             mesh=mesh,
         )
         self.sample_cache: dict = {}
+        # Optional shared micro-batching dispatcher (serving mode). When set,
+        # chunks from concurrent requests share padded device batches.
+        self.batcher = None
+
+    def enable_micro_batching(self, max_batch=None, max_wait_ms: float = 5.0):
+        """Attach a continuous micro-batcher so concurrent requests share
+        device batches (see serving/batcher.py). Returns the batcher."""
+        from ..serving.batcher import MicroBatcher
+
+        if self.batcher is None:
+            self.batcher = MicroBatcher(
+                self.engine_core, max_batch=max_batch, max_wait_ms=max_wait_ms
+            )
+        return self.batcher
 
     # -- Lifecycle -----------------------------------------------------------
 
     def cleanup(self) -> None:
+        if self.batcher is not None:
+            self.batcher.shutdown()
+            self.batcher = None
         if self.model_session_manager:
             self.model_session_manager.cleanup()
 
@@ -210,10 +227,48 @@ class TTSEngine:
         dp, _ = mesh_axis_sizes(self.mesh)
         return -(-batch // dp) * dp
 
+    def _chunk_row(self, plan: ChunkPlan, ref_audio_f32: np.ndarray):
+        """Build one device row (wave, text_ids) for a chunk plan."""
+        cfg = self.config
+        hop = cfg.hop_length
+        wave = np.zeros((plan.bucket * hop,), np.float32)
+        n_ref = min(len(ref_audio_f32), plan.bucket * hop)
+        wave[:n_ref] = ref_audio_f32[:n_ref]
+        ids, _ = self.text_processor.encode_padded(plan.text, plan.bucket)
+        return wave, ids
+
+    def _slice_output(self, plan: ChunkPlan, row: np.ndarray) -> np.ndarray:
+        """Trim the reference prefix + padding, convert to int16."""
+        hop = self.config.hop_length
+        seg = np.clip(row[plan.ref_len * hop : plan.total_len * hop], -1.0, 1.0)
+        return (seg * 32767.0).astype(np.int16)
+
+    def _run_chunks_batched(
+        self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray
+    ) -> List[np.ndarray]:
+        """Route chunks through the shared micro-batcher (serving mode)."""
+        from ..serving.batcher import ChunkJob
+
+        futures = []
+        for p in plans:
+            wave, ids = self._chunk_row(p, ref_audio_f32)
+            job = ChunkJob(
+                bucket=p.bucket,
+                wave=wave,
+                ref_len=p.ref_len,
+                total_len=p.total_len,
+                text_ids=ids,
+                seed=p.index,
+            )
+            futures.append((p, self.batcher.submit(job)))
+        return [self._slice_output(p, f.result()) for p, f in futures]
+
     def _run_chunks(
         self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray
     ) -> List[np.ndarray]:
         """Execute all chunk plans, grouped by frame bucket, batched."""
+        if self.batcher is not None:
+            return self._run_chunks_batched(plans, ref_audio_f32)
         cfg = self.config
         hop = cfg.hop_length
         results: dict[int, np.ndarray] = {}
@@ -232,23 +287,17 @@ class TTSEngine:
                 ref_len = np.zeros((padded,), np.int32)
                 total_len = np.ones((padded,), np.int32)
                 text_ids = np.full((padded, bucket), -1, np.int32)
-                n_ref = min(len(ref_audio_f32), bucket * hop)
+                seeds = np.zeros((padded,), np.uint32)
                 for row, p in enumerate(batch_plans):
-                    wave[row, :n_ref] = ref_audio_f32[:n_ref]
+                    wave[row], text_ids[row] = self._chunk_row(p, ref_audio_f32)
                     ref_len[row] = p.ref_len
                     total_len[row] = p.total_len
-                    ids, _ = self.text_processor.encode_padded(p.text, bucket)
-                    text_ids[row] = ids
-                seeds = np.zeros((padded,), np.uint32)
-                seeds[: len(batch_plans)] = [p.index for p in batch_plans]
+                    seeds[row] = p.index
                 out = self.engine_core.synthesize_batch(
                     wave, ref_len, text_ids, total_len, seed=seeds
                 )
                 for row, p in enumerate(batch_plans):
-                    start = p.ref_len * hop
-                    end = p.total_len * hop
-                    seg = np.clip(out[row, start:end], -1.0, 1.0)
-                    results[p.index] = (seg * 32767.0).astype(np.int16)
+                    results[p.index] = self._slice_output(p, out[row])
 
         return [results[i] for i in sorted(results)]
 

@@ -1,0 +1,145 @@
+"""Continuous micro-batching for concurrent synthesis requests.
+
+The reference serializes all requests through one engine guarded by a worker
+thread (``/root/reference/vietvoicetts/api/tts_engine.py:64-87`` documents the
+single-worker restriction). Here concurrent requests share the accelerator:
+chunk jobs from any number of client threads land in a queue; a dispatcher
+thread greedily groups jobs with the same frame bucket into one padded device
+batch (up to ``max_batch``, waiting at most ``max_wait_ms`` for co-riders)
+and runs them through the EngineCore's fused program. Per-row seeds keep each
+request's audio independent of its batchmates (``models/sampler.py``), so
+batching is invisible to callers.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..runtime.engine_core import EngineCore
+from ..utils.logging import get_logger
+
+log = get_logger("batcher")
+
+
+@dataclass
+class ChunkJob:
+    """One frame-bucket-padded chunk ready for the device."""
+
+    bucket: int
+    wave: np.ndarray  # [bucket * hop] f32
+    ref_len: int
+    total_len: int
+    text_ids: np.ndarray  # [bucket] int32, -1 padded
+    seed: int
+    future: Future = field(default_factory=Future)
+
+
+@dataclass
+class BatcherStats:
+    batches: int = 0
+    jobs: int = 0
+    padded_rows: int = 0
+
+    @property
+    def mean_batch_size(self) -> float:
+        return self.jobs / self.batches if self.batches else 0.0
+
+
+class MicroBatcher:
+    """Queue → bucket-grouped padded batches → fused TPU program."""
+
+    def __init__(
+        self,
+        engine_core: EngineCore,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+    ):
+        self.core = engine_core
+        self.max_batch = max_batch or engine_core.config.max_batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[Optional[ChunkJob]]" = queue.Queue()
+        self._stats = BatcherStats()
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="vv-batcher")
+        self._thread.start()
+
+    # -- Client side ---------------------------------------------------------
+
+    def submit(self, job: ChunkJob) -> Future:
+        if not self._running:
+            raise RuntimeError("MicroBatcher is shut down")
+        self._queue.put(job)
+        return job.future
+
+    @property
+    def stats(self) -> BatcherStats:
+        return self._stats
+
+    def shutdown(self, timeout: float = 10.0) -> None:
+        self._running = False
+        self._queue.put(None)
+        self._thread.join(timeout=timeout)
+
+    # -- Dispatcher ----------------------------------------------------------
+
+    def _collect(self) -> list[ChunkJob]:
+        """Block for one job, then greedily gather same-bucket co-riders."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        spill: list[ChunkJob] = []
+        deadline = self.max_wait_s
+        while len(batch) < self.max_batch:
+            try:
+                job = self._queue.get(timeout=deadline)
+            except queue.Empty:
+                break
+            if job is None:
+                self._queue.put(None)  # re-post sentinel for shutdown
+                break
+            if job.bucket == first.bucket:
+                batch.append(job)
+            else:
+                spill.append(job)
+        for job in spill:  # different buckets ride the next dispatch
+            self._queue.put(job)
+        return batch
+
+    def _run_batch(self, jobs: list[ChunkJob]) -> None:
+        bucket = jobs[0].bucket
+        hop = self.core.config.hop_length
+        b = len(jobs)
+        wave = np.stack([j.wave for j in jobs])
+        ref_len = np.array([j.ref_len for j in jobs], np.int32)
+        total_len = np.array([j.total_len for j in jobs], np.int32)
+        text_ids = np.stack([j.text_ids for j in jobs])
+        seeds = np.array([j.seed for j in jobs], np.uint32)
+        out = self.core.synthesize_batch(wave, ref_len, text_ids, total_len, seed=seeds)
+        self._stats.batches += 1
+        self._stats.jobs += b
+        self._stats.padded_rows += out.shape[0] - b
+        for row, job in enumerate(jobs):
+            job.future.set_result(out[row])
+        log.debug("dispatched batch: bucket=%d size=%d", bucket, b)
+
+    def _loop(self) -> None:
+        while self._running:
+            try:
+                jobs = self._collect()
+                if not jobs:
+                    continue
+                try:
+                    self._run_batch(jobs)
+                except Exception as e:  # noqa: BLE001 — propagate per-job
+                    for job in jobs:
+                        if not job.future.done():
+                            job.future.set_exception(e)
+            except Exception as e:  # pragma: no cover — keep dispatcher alive
+                log.error("Batcher loop error: %s", e)
