@@ -1,0 +1,134 @@
+"""CLI tests — mirrors reference coverage (``/root/reference/tests/
+test_cli.py``): argv-driven main with the client patched, config construction
+from Namespace/dict, interactive mode driven by scripted input()."""
+
+import sys
+from unittest.mock import MagicMock, patch
+
+import pytest
+
+from vietvoice_tts_tpu import cli
+from vietvoice_tts_tpu.cli import build_parser, create_config
+
+
+class TestParser:
+    def test_minimal_args(self):
+        args = build_parser().parse_args(["xin chào", "out.wav"])
+        assert args.text == "xin chào"
+        assert args.output == "out.wav"
+
+    def test_voice_flags(self):
+        args = build_parser().parse_args(
+            ["t", "o.wav", "--gender", "female", "--area", "northern"]
+        )
+        assert args.gender == "female"
+        assert args.area == "northern"
+
+    def test_invalid_gender_rejected(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args(["t", "o.wav", "--gender", "robot"])
+
+    def test_tpu_flags(self):
+        args = build_parser().parse_args(
+            ["t", "o.wav", "--compute-dtype", "float32", "--mesh-model", "4", "--no-pallas"]
+        )
+        assert args.compute_dtype == "float32"
+        assert args.mesh_model == 4
+        assert args.no_pallas is True
+
+
+class TestCreateConfig:
+    def test_from_namespace(self):
+        args = build_parser().parse_args(["t", "o.wav", "--speed", "1.1", "--nfe-step", "16"])
+        cfg = create_config(args)
+        assert cfg.speed == 1.1
+        assert cfg.nfe_step == 16
+        # CLI-facing default (reference cli.py:78), not the config default.
+        assert cfg.max_chunk_duration == 15.0
+
+    def test_from_dict_ignores_none(self):
+        cfg = create_config({"speed": None, "nfe_step": 8})
+        assert cfg.nfe_step == 8
+        assert cfg.speed == 0.9  # dataclass default preserved
+
+
+class TestMain:
+    def _run(self, argv, api_mock):
+        with patch.object(sys, "argv", ["vietvoice-tts", *argv]), patch.object(
+            cli, "create_config", return_value=MagicMock()
+        ):
+            import vietvoice_tts_tpu.client as client_mod
+
+            with patch.object(client_mod, "TTSApi", return_value=api_mock):
+                cli.main()
+
+    def test_happy_path(self, capsys):
+        api = MagicMock()
+        api.synthesize_to_file.return_value = 1.23
+        self._run(["xin chào", "out.wav"], api)
+        api.synthesize_to_file.assert_called_once()
+        assert "Synthesis complete" in capsys.readouterr().out
+
+    def test_missing_output_errors(self):
+        with patch.object(sys, "argv", ["vietvoice-tts", "only-text"]):
+            with pytest.raises(SystemExit):
+                cli.main()
+
+    def test_ref_audio_without_text_errors(self):
+        with patch.object(
+            sys, "argv", ["vietvoice-tts", "t", "o.wav", "--reference-audio", "a.wav"]
+        ):
+            with pytest.raises(SystemExit):
+                cli.main()
+
+    def test_engine_error_exits_nonzero(self, capsys):
+        api = MagicMock()
+        api.synthesize_to_file.side_effect = RuntimeError("boom")
+        with pytest.raises(SystemExit) as exc_info:
+            self._run(["t", "o.wav"], api)
+        assert exc_info.value.code == 1
+        assert "boom" in capsys.readouterr().err
+
+
+class TestInteractive:
+    def test_immediate_synthesize(self, capsys):
+        """Scripted session: text, default output, option 7, confirm."""
+        inputs = iter(["một câu thử", "", "7", "y"])
+        api = MagicMock()
+        api.synthesize_to_file.return_value = 0.5
+        import vietvoice_tts_tpu.client as client_mod
+
+        with patch("builtins.input", lambda *a: next(inputs)), patch.object(
+            cli, "create_config", return_value=MagicMock()
+        ), patch.object(client_mod, "TTSApi", return_value=api):
+            cli.run_interactive_mode()
+        api.synthesize_to_file.assert_called_once()
+        kwargs = api.synthesize_to_file.call_args.kwargs
+        assert kwargs["text"] == "một câu thử"
+        assert kwargs["output_path"].endswith("output.wav")
+
+    def test_voice_edit_then_synthesize(self):
+        # text, output name, menu 1, gender=2 (female), group 0 keep,
+        # area 0 keep, emotion 0 keep, menu 7, confirm y
+        inputs = iter(["văn bản", "giọng", "1", "2", "0", "0", "0", "7", "y"])
+        api = MagicMock()
+        api.synthesize_to_file.return_value = 0.5
+        import vietvoice_tts_tpu.client as client_mod
+
+        with patch("builtins.input", lambda *a: next(inputs)), patch.object(
+            cli, "create_config", return_value=MagicMock()
+        ), patch.object(client_mod, "TTSApi", return_value=api):
+            cli.run_interactive_mode()
+        assert api.synthesize_to_file.call_args.kwargs["gender"] == "female"
+
+    def test_invalid_menu_choice_reprompts(self, capsys):
+        inputs = iter(["text", "out", "99", "7", "y"])
+        api = MagicMock()
+        api.synthesize_to_file.return_value = 0.5
+        import vietvoice_tts_tpu.client as client_mod
+
+        with patch("builtins.input", lambda *a: next(inputs)), patch.object(
+            cli, "create_config", return_value=MagicMock()
+        ), patch.object(client_mod, "TTSApi", return_value=api):
+            cli.run_interactive_mode()
+        assert "Invalid choice" in capsys.readouterr().out

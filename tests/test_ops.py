@@ -156,3 +156,50 @@ class TestIstft:
         # Edges lack full overlap; compare the interior.
         sl = slice(n_fft, len(wave) - n_fft)
         np.testing.assert_allclose(out[sl], wave[sl], atol=1e-4)
+
+
+class TestDepthwiseConvRewrite:
+    """The shifted-add depthwise conv must equal lax.conv exactly."""
+
+    def test_matches_lax_conv(self):
+        import jax
+        from vietvoice_tts_tpu.models.vocoder import _dwconv
+
+        rng = np.random.default_rng(0)
+        c, k = 24, 7
+        x = jnp.asarray(rng.standard_normal((2, 50, c)).astype(np.float32))
+        p = {
+            "w": jnp.asarray(rng.standard_normal((k, 1, c)).astype(np.float32)),
+            "b": jnp.asarray(rng.standard_normal((c,)).astype(np.float32)),
+        }
+        ours = np.asarray(_dwconv(p, x))
+        ref = np.asarray(
+            jax.lax.conv_general_dilated(
+                x, p["w"], (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=c,
+            )
+            + p["b"]
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_even_kernel(self):
+        import jax
+        from vietvoice_tts_tpu.models.vocoder import _dwconv
+
+        rng = np.random.default_rng(1)
+        c, k = 8, 4
+        x = jnp.asarray(rng.standard_normal((1, 20, c)).astype(np.float32))
+        p = {
+            "w": jnp.asarray(rng.standard_normal((k, 1, c)).astype(np.float32)),
+            "b": jnp.zeros((c,), jnp.float32),
+        }
+        ours = np.asarray(_dwconv(p, x))
+        ref = np.asarray(
+            jax.lax.conv_general_dilated(
+                x, p["w"], (1,), "SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                feature_group_count=c,
+            )
+        )
+        np.testing.assert_allclose(ours, ref, atol=1e-5)

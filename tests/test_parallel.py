@@ -63,10 +63,10 @@ class TestShardings:
         mesh = make_mesh(data=2, model=4)
         params = {"dit": init_dit_params(0, DIT), "vocoder": init_vocoder_params(1, VOC)}
         sharded = shard_params(params, mesh, DIT, VOC)
-        qkv = sharded["dit"]["blocks"][0]["qkv"]["w"]
-        # Output dim split over 4 model shards.
+        qkv = sharded["dit"]["blocks"]["qkv"]["w"]
+        # Output dim split over 4 model shards (leading depth axis intact).
         shard_shapes = {s.data.shape for s in qkv.addressable_shards}
-        assert shard_shapes == {(DIT.dim, 3 * DIT.dim // 4)}
+        assert shard_shapes == {(DIT.depth, DIT.dim, 3 * DIT.dim // 4)}
 
     def test_sharded_forward_matches_single_device(self):
         """TP+DP sharded DiT forward == unsharded forward (numerics)."""

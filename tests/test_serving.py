@@ -128,3 +128,44 @@ class TestMicroBatcher:
         finally:
             tiny_engine.batcher.shutdown()
             tiny_engine.batcher = None
+
+
+class TestMultiHostLoop:
+    """Single-host degradation of the lockstep pod-slice serving loop."""
+
+    def test_dispatch_and_result(self, core):
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop
+
+        loop = MultiHostServingLoop(core, max_batch=2, max_wait_ms=20)
+        loop.start()
+        try:
+            futures = [loop.submit(_make_job(core, 128, seed=i)) for i in range(3)]
+            outs = [f.result(timeout=240) for f in futures]
+            assert all(o.shape == (128 * core.config.hop_length,) for o in outs)
+        finally:
+            loop.stop()
+
+    def test_matches_direct_batcher(self, core):
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop
+
+        loop = MultiHostServingLoop(core, max_batch=2, max_wait_ms=5)
+        loop.start()
+        try:
+            out_loop = loop.submit(_make_job(core, 128, seed=42)).result(timeout=240)
+        finally:
+            loop.stop()
+        direct = core.synthesize_batch(
+            _make_job(core, 128, seed=42).wave[None],
+            np.array([16], np.int32),
+            _make_job(core, 128, seed=42).text_ids[None],
+            np.array([128 - 16], np.int32),
+            seed=np.array([42], np.uint32),
+        )
+        np.testing.assert_allclose(out_loop, direct[0], atol=1e-5)
+
+    def test_submit_before_start_raises(self, core):
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop
+
+        loop = MultiHostServingLoop(core)
+        with pytest.raises(RuntimeError):
+            loop.submit(_make_job(core, 128))

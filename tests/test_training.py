@@ -57,8 +57,7 @@ class TestLoss:
         assert float(jnp.abs(grads["final_proj"]["w"]).max()) > 0
         assert float(jnp.abs(grads["input_proj"]["w"]).max()) > 0
         assert float(jnp.abs(grads["text_embed"]["table"]).max()) > 0
-        for blk in grads["blocks"]:
-            assert float(jnp.abs(blk["ada"]["w"]).max()) > 0
+        assert float(jnp.abs(grads["blocks"]["ada"]["w"]).max()) > 0
 
     def test_gradients_reach_qkv_after_gates_open(self):
         """Once the gates move off zero, attention weights train."""
@@ -73,7 +72,7 @@ class TestLoss:
         grads = jax.grad(flow_matching_loss)(
             params, CFG, jax.random.PRNGKey(9), mel, text, lengths, TRAIN
         )
-        assert float(jnp.abs(grads["blocks"][0]["qkv"]["w"]).max()) > 0
+        assert float(jnp.abs(grads["blocks"]["qkv"]["w"]).max()) > 0
 
     def test_key_changes_loss(self):
         params = init_dit_params(0, CFG)

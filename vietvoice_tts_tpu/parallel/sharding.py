@@ -27,12 +27,14 @@ from .mesh import DATA_AXIS, MODEL_AXIS
 
 
 def _dit_block_spec() -> dict:
+    # Blocks are stacked on a leading depth axis (lax.scan over layers), so
+    # every spec carries a leading None for the depth dim.
     return {
         "ada": {"w": P(), "b": P()},
-        "qkv": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
-        "attn_out": {"w": P(MODEL_AXIS, None), "b": P()},
-        "ff1": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
-        "ff2": {"w": P(MODEL_AXIS, None), "b": P()},
+        "qkv": {"w": P(None, None, MODEL_AXIS), "b": P(None, MODEL_AXIS)},
+        "attn_out": {"w": P(None, MODEL_AXIS, None), "b": P()},
+        "ff1": {"w": P(None, None, MODEL_AXIS), "b": P(None, MODEL_AXIS)},
+        "ff2": {"w": P(None, MODEL_AXIS, None), "b": P()},
     }
 
 
@@ -45,10 +47,11 @@ def _text_block_spec() -> dict:
 
 
 def _vocoder_block_spec() -> dict:
+    # Stacked on a leading depth axis, like the DiT blocks.
     return {
         "dwconv": {"w": P(), "b": P()},
-        "pw1": {"w": P(None, MODEL_AXIS), "b": P(MODEL_AXIS)},
-        "pw2": {"w": P(MODEL_AXIS, None), "b": P()},
+        "pw1": {"w": P(None, None, MODEL_AXIS), "b": P(None, MODEL_AXIS)},
+        "pw2": {"w": P(None, MODEL_AXIS, None), "b": P()},
         "gamma": P(),
         "norm_scale": P(),
         "norm_bias": P(),
@@ -69,7 +72,7 @@ def param_pspecs(dit_cfg, voc_cfg) -> dict:
             },
             "input_proj": {"w": P(), "b": P()},
             "conv_pos": [{"w": P(), "b": P()} for _ in range(2)],
-            "blocks": [_dit_block_spec() for _ in range(dit_cfg.depth)],
+            "blocks": _dit_block_spec(),
             "final_ada": {"w": P(), "b": P()},
             "final_proj": {"w": P(), "b": P()},
         },
@@ -77,7 +80,7 @@ def param_pspecs(dit_cfg, voc_cfg) -> dict:
             "embed": {"w": P(), "b": P()},
             "norm_in_scale": P(),
             "norm_in_bias": P(),
-            "blocks": [_vocoder_block_spec() for _ in range(voc_cfg.num_layers)],
+            "blocks": _vocoder_block_spec(),
             "norm_out_scale": P(),
             "norm_out_bias": P(),
             # 2·n_freqs (=1026) is not divisible by common TP sizes; the head

@@ -1,0 +1,186 @@
+"""Multi-host lockstep serving loop for TPU pod slices.
+
+The reference serves from one process with one engine
+(``/root/reference/vietvoicetts/api/tts_engine.py:11-29``). On a pod slice,
+every host must enter the same XLA program at the same time (SPMD), so a
+naive per-host HTTP server deadlocks the mesh. This loop implements the
+standard recipe:
+
+- host 0 runs the HTTP front-end and owns the request queue;
+- each iteration, host 0 drains up to one device batch of chunk jobs and
+  **broadcasts** the batch (or an empty heartbeat) to all hosts via
+  ``multihost_utils.broadcast_one_to_all`` over DCN;
+- every host then calls the same jitted ``synthesize_batch`` on its shard of
+  the ``data`` axis — XLA collectives ride ICI;
+- host 0 de-batches results back to the waiting futures.
+
+Heartbeats (empty batches on the smallest bucket) keep the loop live-locked
+rather than dead-locked when traffic is idle; `max_wait_ms` bounds added
+latency. Single-host degrades to a plain dispatch loop, which is how the
+unit tests exercise it on the virtual CPU mesh.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..runtime.engine_core import EngineCore
+from ..utils.logging import get_logger
+from .batcher import ChunkJob
+
+log = get_logger("multihost")
+
+
+@dataclass
+class _Batch:
+    bucket: int
+    wave: np.ndarray
+    ref_len: np.ndarray
+    total_len: np.ndarray
+    text_ids: np.ndarray
+    seeds: np.ndarray
+    n_real: int  # rows that correspond to actual jobs (rest is padding)
+
+
+class MultiHostServingLoop:
+    """Lockstep dispatcher: identical device programs on every host."""
+
+    def __init__(
+        self,
+        engine_core: EngineCore,
+        max_batch: Optional[int] = None,
+        max_wait_ms: float = 5.0,
+        heartbeat_bucket: Optional[int] = None,
+    ):
+        import jax
+
+        self.core = engine_core
+        self.max_batch = max_batch or engine_core.config.max_batch_size
+        self.max_wait_s = max_wait_ms / 1000.0
+        self.is_coordinator = jax.process_index() == 0
+        self.n_hosts = jax.process_count()
+        self.heartbeat_bucket = heartbeat_bucket or engine_core.config.frame_buckets[0]
+        self._queue: "queue.Queue[ChunkJob]" = queue.Queue()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+    # -- Client side (coordinator only) --------------------------------------
+
+    def submit(self, job: ChunkJob) -> Future:
+        if not self.is_coordinator:
+            raise RuntimeError("submit() is only valid on host 0")
+        if not self._running:
+            raise RuntimeError("Serving loop is not running")
+        self._queue.put(job)
+        return job.future
+
+    # -- Loop ----------------------------------------------------------------
+
+    def start(self) -> None:
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="vv-mh-loop")
+        self._thread.start()
+
+    def stop(self, timeout: float = 30.0) -> None:
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=timeout)
+
+    def _drain(self) -> tuple[list[ChunkJob], _Batch]:
+        """Host 0: gather up to max_batch same-bucket jobs (or heartbeat)."""
+        jobs: list[ChunkJob] = []
+        try:
+            first = self._queue.get(timeout=self.max_wait_s)
+            jobs.append(first)
+            spill = []
+            while len(jobs) < self.max_batch:
+                try:
+                    j = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                (jobs if j.bucket == first.bucket else spill).append(j)
+            for j in spill:
+                self._queue.put(j)
+        except queue.Empty:
+            pass
+
+        hop = self.core.config.hop_length
+        bucket = jobs[0].bucket if jobs else self.heartbeat_bucket
+        b = self.max_batch  # fixed batch → one program per bucket
+        batch = _Batch(
+            bucket=bucket,
+            wave=np.zeros((b, bucket * hop), np.float32),
+            ref_len=np.zeros((b,), np.int32),
+            total_len=np.ones((b,), np.int32),
+            text_ids=np.full((b, bucket), -1, np.int32),
+            seeds=np.zeros((b,), np.uint32),
+            n_real=len(jobs),
+        )
+        for row, j in enumerate(jobs):
+            batch.wave[row] = j.wave
+            batch.ref_len[row] = j.ref_len
+            batch.total_len[row] = j.total_len
+            batch.text_ids[row] = j.text_ids
+            batch.seeds[row] = j.seed
+        return jobs, batch
+
+    def _broadcast(self, batch: Optional[_Batch]) -> _Batch:
+        """Ship host 0's batch descriptor to every host (DCN)."""
+        if self.n_hosts == 1:
+            return batch
+        from jax.experimental import multihost_utils
+
+        # Fixed-shape payload per bucket: broadcast the bucket id first so
+        # non-coordinators allocate matching buffers.
+        meta = np.array(
+            [batch.bucket if batch else 0, batch.n_real if batch else 0],
+            np.int64,
+        )
+        meta = multihost_utils.broadcast_one_to_all(meta)
+        bucket, n_real = int(meta[0]), int(meta[1])
+        hop = self.core.config.hop_length
+        b = self.max_batch
+        if not self.is_coordinator:
+            batch = _Batch(
+                bucket=bucket,
+                wave=np.zeros((b, bucket * hop), np.float32),
+                ref_len=np.zeros((b,), np.int32),
+                total_len=np.ones((b,), np.int32),
+                text_ids=np.full((b, bucket), -1, np.int32),
+                seeds=np.zeros((b,), np.uint32),
+                n_real=n_real,
+            )
+        payload = (batch.wave, batch.ref_len, batch.total_len, batch.text_ids, batch.seeds)
+        payload = multihost_utils.broadcast_one_to_all(payload)
+        batch.wave, batch.ref_len, batch.total_len, batch.text_ids, batch.seeds = payload
+        return batch
+
+    def _loop(self) -> None:
+        while self._running:
+            jobs: list[ChunkJob] = []
+            batch: Optional[_Batch] = None
+            if self.is_coordinator:
+                jobs, batch = self._drain()
+                if batch.n_real == 0 and self.n_hosts == 1:
+                    continue  # single host: no heartbeat needed
+            batch = self._broadcast(batch)
+            if batch is None:
+                continue
+            try:
+                out = self.core.synthesize_batch(
+                    batch.wave, batch.ref_len, batch.text_ids, batch.total_len,
+                    seed=batch.seeds,
+                )
+                for row, job in enumerate(jobs):
+                    job.future.set_result(out[row])
+            except Exception as e:  # noqa: BLE001 — propagate per-job
+                log.error("Serving loop batch failed: %s", e)
+                for job in jobs:
+                    if not job.future.done():
+                        job.future.set_exception(e)
