@@ -76,6 +76,12 @@ class TTSEngine:
             )
         return self.batcher
 
+    def warmup(self, batches=None, buckets=None) -> None:
+        """Ahead-of-time compile the serving shape grid (call at deploy
+        time; the persistent XLA cache makes it once-per-machine)."""
+        batches = batches or (1, self.config.max_batch_size)
+        self.engine_core.warmup(batches=batches, buckets=buckets)
+
     # -- Lifecycle -----------------------------------------------------------
 
     def cleanup(self) -> None:

@@ -86,6 +86,7 @@ class EngineCore:
         )
         self.sampler_cfg = SamplerConfig(
             nfe_step=config.nfe_step,
+            fuse_nfe=config.fuse_nfe,
             cfg_strength=config.cfg_strength,
             sway_sampling_coef=config.sway_sampling_coef,
         )
