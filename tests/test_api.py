@@ -206,3 +206,18 @@ class TestEngineWrapper:
             assert sr == 24000
             assert dur > 0
             te.reset_engine()
+
+
+class TestObservability:
+    def test_health_includes_device_info(self, client):
+        resp = run(client.get("/api/v1/health"))
+        data = resp.json()
+        assert data["backend"] in ("cpu", "tpu")
+        assert data["device_count"] >= 1
+        assert data["engine_loaded"] in (True, False, None)
+
+    def test_stats_route(self, client):
+        resp = run(client.get("/api/v1/stats"))
+        assert resp.status_code == 200
+        data = resp.json()
+        assert "stage_seconds" in data

@@ -20,7 +20,12 @@ from uuid import uuid4
 
 from ..utils.logging import get_logger
 from .asgi import App, File, NotFoundException, Stream
-from .schemas import HealthResponse, SynthesizeFileResponse, SynthesizeRequest
+from .schemas import (
+    HealthResponse,
+    StatsResponse,
+    SynthesizeFileResponse,
+    SynthesizeRequest,
+)
 from .settings import settings
 from .tts_engine import synthesize_async
 
@@ -43,7 +48,43 @@ app = App()
 @app.get("/api/v1/health")
 async def health() -> HealthResponse:
     """Health check for load balancers and monitors."""
-    return HealthResponse(status="healthy", uptime=int(monotonic() - _server_start_time))
+    import jax
+
+    from . import tts_engine as te
+
+    return HealthResponse(
+        status="healthy",
+        uptime=int(monotonic() - _server_start_time),
+        backend=jax.default_backend(),
+        device_count=len(jax.devices()),
+        engine_loaded=te._engine is not None,
+    )
+
+
+@app.get("/api/v1/stats")
+async def stats() -> StatsResponse:
+    """Per-stage device time and micro-batcher efficiency (observability the
+    reference lists as unimplemented future work, README.md:185)."""
+    from ..utils.profiling import device_memory_stats
+    from . import tts_engine as te
+
+    stage, batcher = {}, None
+    if te._engine is not None and te._engine._engine is not None:
+        engine = te._engine._engine
+        stage = engine.engine_core.timer.report()
+        if engine.batcher is not None:
+            b = engine.batcher.stats
+            batcher = {
+                "batches": b.batches,
+                "jobs": b.jobs,
+                "padded_rows": b.padded_rows,
+                "mean_batch_size": round(b.mean_batch_size, 2),
+            }
+    return StatsResponse(
+        stage_seconds={k: round(v, 3) for k, v in stage.items()},
+        batcher=batcher,
+        hbm=device_memory_stats() or None,
+    )
 
 
 @app.post("/api/v1/synthesize")

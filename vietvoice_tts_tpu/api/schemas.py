@@ -45,10 +45,29 @@ class Emotion(str, Enum):
 
 
 class HealthResponse(BaseModel):
-    """Health check payload."""
+    """Health check payload.
+
+    Superset of the reference's (status, uptime) — adds accelerator
+    visibility so load balancers can detect a wedged device, which the
+    reference's uptime-only check cannot (SURVEY §5: health endpoint is
+    uptime-only, api/app.py:37-41).
+    """
 
     status: Literal["healthy"]
     uptime: int = Field(..., description="Uptime of the server in seconds.")
+    backend: Optional[str] = Field(None, description="JAX backend (tpu/cpu).")
+    device_count: Optional[int] = Field(None, description="Visible devices.")
+    engine_loaded: Optional[bool] = Field(
+        None, description="Whether the model is resident in memory."
+    )
+
+
+class StatsResponse(BaseModel):
+    """Serving statistics: per-stage device time and batcher efficiency."""
+
+    stage_seconds: dict = Field(default_factory=dict)
+    batcher: Optional[dict] = Field(None)
+    hbm: Optional[dict] = Field(None)
 
 
 class SynthesizeRequest(BaseModel):
