@@ -97,3 +97,69 @@ class TestShardings:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestUlyssesSequenceParallel:
+    """Frame-axis sharded attention == single-device attention."""
+
+    def _data(self, B=2, N=64, H=8, D=16):
+        rng = np.random.default_rng(0)
+        q, k, v = (
+            rng.standard_normal((B, N, H, D)).astype(np.float32) for _ in range(3)
+        )
+        mask = np.ones((B, N), bool)
+        mask[1, N // 2 :] = False
+        return q, k, v, mask
+
+    def test_matches_single_device(self):
+        from vietvoice_tts_tpu.ops.attention import attention
+        from vietvoice_tts_tpu.ops.rope import apply_rope, rope_tables
+        from vietvoice_tts_tpu.parallel.sequence import (
+            sequence_sharding,
+            ulysses_attention,
+        )
+
+        B, N, H, D = 2, 64, 8, 16
+        q, k, v, mask = self._data(B, N, H, D)
+        cos, sin = rope_tables(N, D)
+
+        # Single-device reference.
+        qb = jnp.moveaxis(jnp.asarray(q), 1, 2)
+        kb = jnp.moveaxis(jnp.asarray(k), 1, 2)
+        vb = jnp.moveaxis(jnp.asarray(v), 1, 2)
+        ref = np.moveaxis(
+            np.asarray(
+                attention(
+                    apply_rope(qb, cos, sin), apply_rope(kb, cos, sin), vb,
+                    jnp.asarray(mask), use_pallas=False,
+                )
+            ),
+            1,
+            2,
+        )
+
+        mesh = make_mesh(data=2, model=4)
+        shard = sequence_sharding(mesh)
+        qs, ks, vs = (
+            jax.device_put(jnp.asarray(x), shard) for x in (q, k, v)
+        )
+        out = np.asarray(
+            ulysses_attention(
+                qs, ks, vs, jnp.asarray(cos), jnp.asarray(sin), jnp.asarray(mask),
+                mesh=mesh,
+            )
+        )
+        # Masked rows beyond valid length are undefined; compare valid region.
+        np.testing.assert_allclose(out[0], ref[0], atol=2e-5)
+        np.testing.assert_allclose(out[1, : N // 2], ref[1, : N // 2], atol=2e-5)
+
+    def test_rejects_indivisible_heads(self):
+        from vietvoice_tts_tpu.ops.rope import rope_tables
+        from vietvoice_tts_tpu.parallel.sequence import ulysses_attention
+
+        mesh = make_mesh(data=2, model=4)
+        q = jnp.zeros((1, 16, 6, 8))  # 6 heads not divisible by 4
+        cos, sin = rope_tables(16, 8)
+        with pytest.raises(ValueError):
+            ulysses_attention(q, q, q, jnp.asarray(cos), jnp.asarray(sin),
+                              jnp.ones((1, 16), bool), mesh=mesh)

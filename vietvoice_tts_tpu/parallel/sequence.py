@@ -1,0 +1,81 @@
+"""Sequence (context) parallelism: Ulysses-style sharded attention.
+
+The reference caps every chunk at ~1,875 mel frames and has no long-context
+mechanism beyond application-level chunking (SURVEY §5). For sequences that
+exceed one chip's activation budget — long chunks, or future
+higher-resolution mel — this module shards the *frame axis* across the mesh
+and runs attention with two all-to-alls (the DeepSpeed-Ulysses recipe):
+
+    activations sharded [B, N/sp, ...] on axis `sp`
+      ── all_to_all (scatter heads, gather frames) ──▶ [B, N, H/sp, D]
+      ── full-sequence attention on local heads     ──▶ [B, N, H/sp, D]
+      ── all_to_all (scatter frames, gather heads)  ──▶ [B, N/sp, H, D]
+
+Head count must be divisible by the axis size (8 heads ÷ {2,4,8}). The
+all-to-alls ride ICI; everything else in the DiT stays elementwise over
+frames and needs no communication. Exposed as a drop-in attention function
+over a ``shard_map``; correctness is tested against single-device attention
+on the virtual CPU mesh (tests/test_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.attention import attention
+from ..ops.rope import apply_rope
+
+
+def ulysses_attention(
+    q: jnp.ndarray,  # [B, N, H, D] — frame axis GLOBALLY sharded on `axis`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,  # [N, D] rope tables (replicated)
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, N] bool (replicated)
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Sequence-parallel multi-head RoPE attention → [B, N, H, D] sharded
+    like ``q``. ``H % mesh.shape[axis] == 0`` required."""
+    sp = mesh.shape[axis]
+    h = q.shape[2]
+    if h % sp != 0:
+        raise ValueError(f"heads {h} not divisible by sequence-parallel size {sp}")
+
+    def local(q_l, k_l, v_l, cos_r, sin_r, mask_r):
+        # q_l: [B, N/sp, H, D] → gather frames / scatter heads.
+        def a2a_fwd(x):
+            return jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+
+        def a2a_bwd(x):
+            return jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+
+        q_f = a2a_fwd(q_l)  # [B, N, H/sp, D]
+        k_f = a2a_fwd(k_l)
+        v_f = a2a_fwd(v_l)
+        # [B, H/sp, N, D] for the attention core.
+        q_b = apply_rope(jnp.moveaxis(q_f, 1, 2), cos_r, sin_r)
+        k_b = apply_rope(jnp.moveaxis(k_f, 1, 2), cos_r, sin_r)
+        v_b = jnp.moveaxis(v_f, 1, 2)
+        o = attention(q_b, k_b, v_b, mask_r, use_pallas=False)
+        o = jnp.moveaxis(o, 1, 2)  # [B, N, H/sp, D]
+        return a2a_bwd(o)  # [B, N/sp, H, D]
+
+    spec_x = P(None, axis, None, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_x, spec_x, spec_x, P(), P(), P()),
+        out_specs=spec_x,
+    )
+    return fn(q, k, v, cos, sin, mask)
+
+
+def sequence_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
+    """Sharding for [B, N, ...] activations with the frame axis on ``axis``."""
+    return NamedSharding(mesh, P(None, axis))
