@@ -64,7 +64,6 @@ def main() -> int:
     import onnxruntime as ort
 
     from vietvoice_tts_tpu.config import ModelConfig
-    from vietvoice_tts_tpu.models.convert import extract_assets
     from vietvoice_tts_tpu.pipeline.engine import TTSEngine
 
     # --- reference side -----------------------------------------------------

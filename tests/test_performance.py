@@ -3,8 +3,6 @@ times a mocked engine; ours exercises the real timing/observability surface
 on the tiny CPU model: stage timers, sequential batches, memory stability,
 and config churn."""
 
-import numpy as np
-
 from tests.conftest import tiny_config
 
 

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .config import MODEL_AREA, MODEL_EMOTION, MODEL_GENDER, MODEL_GROUP, ModelConfig
+from .config import ModelConfig
 from .pipeline.engine import TTSEngine
 from .utils.wavio import wav_bytes
 

@@ -99,10 +99,19 @@ class MelFrontend:
         n_frames = t // self.hop_length
         pad = self.n_fft // 2
         x = jnp.pad(waveform, ((0, 0), (pad, pad)), mode="reflect")
-        # Strided gather into frames [B, n_frames, win].
-        starts = jnp.arange(n_frames) * self.hop_length
-        idx = starts[:, None] + jnp.arange(self.win_length)[None, :]
-        frames = x[:, idx]  # [B, F, win]
+        hop, win = self.hop_length, self.win_length
+        if win % hop == 0 and pad % hop == 0:
+            # win = P·hop ⇒ framing is a reshape + P shifted slices — no
+            # gather (TPU gathers of [F, win] index grids are slow).
+            phases = win // hop
+            blocks = x.reshape(b, -1, hop)  # [B, n_blocks, hop]
+            frames = jnp.concatenate(
+                [blocks[:, j : j + n_frames] for j in range(phases)], axis=-1
+            )  # [B, F, win]
+        else:
+            starts = jnp.arange(n_frames) * hop
+            idx = starts[:, None] + jnp.arange(win)[None, :]
+            frames = x[:, idx]  # [B, F, win]
         # Windowed real DFT as two MXU matmuls, f32 accumulation.
         re = jnp.einsum(
             "bfw,wk->bfk", frames, self.cos_basis, preferred_element_type=jnp.float32

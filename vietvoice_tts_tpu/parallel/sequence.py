@@ -20,8 +20,6 @@ on the virtual CPU mesh (tests/test_parallel.py).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

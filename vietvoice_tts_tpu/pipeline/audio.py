@@ -12,7 +12,6 @@ cross-fade/normalize hot path for the serving loop when built.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import List
 
 import numpy as np

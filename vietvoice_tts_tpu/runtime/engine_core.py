@@ -14,7 +14,6 @@ bounded because all inputs are padded into config-declared buckets.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, Tuple
 
 import jax
@@ -22,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig
-from ..models.dit import DiTConfig, dit_forward
+from ..models.dit import DiTConfig
 from ..models.sampler import SamplerConfig, flow_matching_sample
 from ..models.vocoder import VocoderConfig, vocoder_forward
 from ..ops.stft import MelFrontend

@@ -10,15 +10,15 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
 
 from ..config import ModelConfig
-from ..models.dit import DiTConfig, init_dit_params
+from ..models.dit import DiTConfig
 from ..parallel.mesh import make_mesh
-from ..parallel.sharding import batch_sharding, param_shardings, shard_params
+from ..parallel.sharding import batch_sharding, shard_params
 from ..runtime.session import ModelSessionManager
 from ..utils.logging import get_logger
 from .checkpoint import CheckpointManager
