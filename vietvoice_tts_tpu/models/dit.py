@@ -1,0 +1,317 @@
+"""Flow-matching DiT denoiser (the reference's ``transformer.onnx``).
+
+The reference executes one opaque ONNX denoise step per Python-loop
+iteration (``/root/reference/vietvoicetts/core/tts_engine.py:148-174``).
+Here the step is an explicit JAX function designed for the TPU:
+
+- **AdaLN-Zero** conditioning from the flow time: each block's modulation
+  (shift/scale/gate for attention and FFN) comes from one small matmul on
+  the time embedding; gates are zero-initialized so the residual trunk is
+  the identity at init.
+- **Blocks stacked on a leading depth axis** and run with ``lax.scan`` —
+  one traced body instead of ``depth`` inlined copies (~10× faster XLA
+  compile, identical math, and the stacked weights give the tensor-parallel
+  sharder a single leaf per matmul: ``parallel/sharding.py``).
+- **Packed QKV** ``[q_heads ‖ k_heads ‖ v_heads]`` along the feature dim so
+  the Pallas kernel (``ops/pallas/fused_rope_attention.py``) can consume the
+  projection output with zero layout changes; the XLA path splits/reshapes.
+- **bf16 matmuls, f32 softmax/norms**: `compute_dtype` applies to the MXU
+  work; normalization, modulation, and the output are float32 (BASELINE
+  numerics gate: mel atol 1e-2 vs the reference).
+- Text and mel share the sequence axis (F5-style): character IDs are padded
+  with ``-1`` to the mel frame bucket, embedded through a small ConvNeXt
+  stack, and concatenated with (noisy latent, conditioning mel) per frame.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import attention
+from ..ops.rope import apply_rope, rope_tables
+
+Params = Dict[str, Any]
+
+TIME_FREQ_DIM = 256  # sinusoidal feature width for the flow time
+CONV_POS_KERNEL = 31
+CONV_POS_GROUPS = 16
+TEXT_CONV_KERNEL = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    dim: int = 1024
+    depth: int = 22
+    heads: int = 8
+    ff_mult: int = 2
+    n_mels: int = 100
+    text_dim: int = 512
+    text_conv_layers: int = 4
+    vocab_size: int = 256
+    compute_dtype: Any = jnp.bfloat16
+    use_pallas: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.heads
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+
+def _as_rng(seed) -> np.random.Generator:
+    if isinstance(seed, np.random.Generator):
+        return seed
+    return np.random.default_rng(seed)
+
+
+def _dense(rng: np.random.Generator, fan_in: int, fan_out: int, *lead: int):
+    """LeCun-normal weight [*, fan_in, fan_out] + zero bias."""
+    std = 1.0 / np.sqrt(fan_in)
+    w = rng.normal(0.0, std, (*lead, fan_in, fan_out)).astype(np.float32)
+    b = np.zeros((*lead, fan_out), np.float32)
+    return {"w": w, "b": b}
+
+
+def _text_block(rng: np.random.Generator, dim: int) -> dict:
+    inter = 2 * dim
+    k = TEXT_CONV_KERNEL
+    return {
+        "dwconv": {
+            "w": rng.normal(0.0, 1.0 / np.sqrt(k), (k, 1, dim)).astype(np.float32),
+            "b": np.zeros((dim,), np.float32),
+        },
+        "pw1": _dense(rng, dim, inter),
+        "pw2": _dense(rng, inter, dim),
+    }
+
+
+def init_dit_params(seed, cfg: DiTConfig) -> Params:
+    """Random-init parameter pytree (numpy float32 leaves).
+
+    ``seed`` may be an int or a ``np.random.Generator``. Tree structure must
+    stay in lockstep with ``parallel/sharding.param_pspecs``.
+    """
+    rng = _as_rng(seed)
+    d, depth = cfg.dim, cfg.depth
+
+    # AdaLN-Zero: modulation projections start at exactly zero so every
+    # block is the identity at init and gates open during training.
+    ada = {
+        "w": np.zeros((depth, d, 6 * d), np.float32),
+        "b": np.zeros((depth, 6 * d), np.float32),
+    }
+    blocks = {
+        "ada": ada,
+        "qkv": _dense(rng, d, 3 * d, depth),
+        "attn_out": _dense(rng, d, d, depth),
+        "ff1": _dense(rng, d, cfg.ff_mult * d, depth),
+        "ff2": _dense(rng, cfg.ff_mult * d, d, depth),
+    }
+    conv_pos: List[dict] = []
+    for _ in range(2):
+        k, g = CONV_POS_KERNEL, CONV_POS_GROUPS
+        conv_pos.append(
+            {
+                "w": rng.normal(0.0, 1.0 / np.sqrt(k * d // g), (k, d // g, d)).astype(
+                    np.float32
+                ),
+                "b": np.zeros((d,), np.float32),
+            }
+        )
+    return {
+        "text_embed": {
+            # Row 0 is the filler token (pad id -1 → index 0, like the
+            # reference's unk→0 mapping, text_processor.py:30-37).
+            "table": (
+                rng.normal(0.0, 0.02, (cfg.vocab_size + 1, cfg.text_dim))
+            ).astype(np.float32),
+            "blocks": [_text_block(rng, cfg.text_dim) for _ in range(cfg.text_conv_layers)],
+        },
+        "time_embed": {
+            "mlp1": _dense(rng, TIME_FREQ_DIM, d),
+            "mlp2": _dense(rng, d, d),
+        },
+        "input_proj": _dense(rng, 2 * cfg.n_mels + cfg.text_dim, d),
+        "conv_pos": conv_pos,
+        "blocks": blocks,
+        "final_ada": {
+            "w": np.zeros((d, 2 * d), np.float32),
+            "b": np.zeros((2 * d,), np.float32),
+        },
+        "final_proj": _dense(rng, d, cfg.n_mels),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _layernorm(x: jnp.ndarray) -> jnp.ndarray:
+    """Non-affine LayerNorm in f32 (AdaLN supplies scale/shift)."""
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    return (x32 - mu) * jax.lax.rsqrt(var + 1e-6)
+
+
+def _mish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _text_convnext(p: dict, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """ConvNeXt-1D residual block on the text embedding. x: [B, N, C] f32."""
+    from .vocoder import _dwconv  # shared shifted-add depthwise conv
+
+    h = _dwconv(p["dwconv"], x)
+    h = _layernorm(h).astype(dtype)
+    h = jax.nn.gelu(h @ p["pw1"]["w"].astype(dtype) + p["pw1"]["b"].astype(dtype))
+    h = h @ p["pw2"]["w"].astype(dtype) + p["pw2"]["b"].astype(dtype)
+    return x + h.astype(jnp.float32)
+
+
+def _grouped_conv(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """SAME grouped 1-D conv, NWC/WIO layout. x: [B, N, C]."""
+    c = x.shape[-1]
+    groups = c // p["w"].shape[1]
+    return (
+        jax.lax.conv_general_dilated(
+            x,
+            p["w"].astype(x.dtype),
+            (1,),
+            "SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=groups,
+        )
+        + p["b"].astype(x.dtype)
+    )
+
+
+def _time_embedding(p: dict, t: jnp.ndarray) -> jnp.ndarray:
+    """Sinusoidal features of the flow time → MLP. t: [B] f32 → [B, dim]."""
+    half = TIME_FREQ_DIM // 2
+    freqs = jnp.exp(
+        -jnp.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :] * 1000.0
+    feats = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    h = jax.nn.silu(feats @ p["mlp1"]["w"] + p["mlp1"]["b"])
+    return h @ p["mlp2"]["w"] + p["mlp2"]["b"]  # [B, dim] f32
+
+
+def dit_text_embed(params: Params, cfg: DiTConfig, text_ids: jnp.ndarray) -> jnp.ndarray:
+    """Character IDs → per-frame text features [B, N, text_dim] (f32).
+
+    Hoistable: the sampler calls this ONCE and reuses the result across all
+    NFE steps (it does not depend on x or t)."""
+    dtype = cfg.compute_dtype
+    table = params["text_embed"]["table"]
+    emb = jnp.take(table, jnp.clip(text_ids + 1, 0, cfg.vocab_size), axis=0)
+    emb = emb.astype(jnp.float32)
+    for blk in params["text_embed"]["blocks"]:
+        emb = _text_convnext(blk, emb, dtype)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def dit_forward_embedded(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,  # [B, N, n_mels] noisy latent
+    cond: jnp.ndarray,  # [B, N, n_mels] masked-infill conditioning mel
+    text_emb: jnp.ndarray,  # [B, N, text_dim] from dit_text_embed
+    t: jnp.ndarray,  # [B] flow time in [0, 1]
+    mask: jnp.ndarray,  # [B, N] bool, True = valid frame
+) -> jnp.ndarray:
+    """Predict the flow velocity field; masked frames return exactly 0."""
+    dtype = cfg.compute_dtype
+    b, n, _ = x.shape
+    mask_f = mask[..., None].astype(jnp.float32)
+
+    # Zero padding frames on the way in so convs can't leak garbage inward.
+    h_in = jnp.concatenate(
+        [
+            x.astype(jnp.float32) * mask_f,
+            cond.astype(jnp.float32) * mask_f,
+            text_emb * mask_f,
+        ],
+        axis=-1,
+    ).astype(dtype)
+    p_in = params["input_proj"]
+    h = h_in @ p_in["w"].astype(dtype) + p_in["b"].astype(dtype)  # [B, N, dim]
+
+    # Convolutional position embedding (two grouped convs, Mish, residual).
+    pos = _mish(_grouped_conv(params["conv_pos"][0], h))
+    pos = _grouped_conv(params["conv_pos"][1], pos)
+    h = (h + pos).astype(jnp.float32) * mask_f
+
+    t_emb = jax.nn.silu(_time_embedding(params["time_embed"], t))  # [B, dim] f32
+
+    cos_np, sin_np = rope_tables(n, cfg.head_dim)
+    cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
+    heads, hd = cfg.heads, cfg.head_dim
+
+    def block(h, blk):
+        # h: [B, N, dim] f32 residual stream.
+        mod = t_emb @ blk["ada"]["w"] + blk["ada"]["b"]  # [B, 6·dim] f32
+        sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
+
+        u = (_layernorm(h) * (1.0 + sc_a[:, None]) + sh_a[:, None]).astype(dtype)
+        qkv = u @ blk["qkv"]["w"].astype(dtype) + blk["qkv"]["b"].astype(dtype)
+        if cfg.use_pallas:
+            from ..ops.pallas.fused_rope_attention import fused_qkv_rope_attention
+
+            attn = fused_qkv_rope_attention(qkv, cos, sin, mask, heads)
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q = jnp.moveaxis(q.reshape(b, n, heads, hd), 1, 2)
+            k = jnp.moveaxis(k.reshape(b, n, heads, hd), 1, 2)
+            v = jnp.moveaxis(v.reshape(b, n, heads, hd), 1, 2)
+            q = apply_rope(q, cos.astype(dtype), sin.astype(dtype))
+            k = apply_rope(k, cos.astype(dtype), sin.astype(dtype))
+            attn = attention(q, k, v, mask, use_pallas=False)
+            attn = jnp.moveaxis(attn, 1, 2).reshape(b, n, heads * hd)
+        attn = attn @ blk["attn_out"]["w"].astype(dtype) + blk["attn_out"]["b"].astype(
+            dtype
+        )
+        h = h + g_a[:, None] * attn.astype(jnp.float32)
+
+        u = (_layernorm(h) * (1.0 + sc_f[:, None]) + sh_f[:, None]).astype(dtype)
+        f = jax.nn.gelu(u @ blk["ff1"]["w"].astype(dtype) + blk["ff1"]["b"].astype(dtype))
+        f = f @ blk["ff2"]["w"].astype(dtype) + blk["ff2"]["b"].astype(dtype)
+        h = h + g_f[:, None] * f.astype(jnp.float32)
+        return h, None
+
+    h, _ = jax.lax.scan(block, h, params["blocks"])
+
+    fmod = t_emb @ params["final_ada"]["w"] + params["final_ada"]["b"]
+    sh, sc = jnp.split(fmod, 2, axis=-1)
+    h = _layernorm(h) * (1.0 + sc[:, None]) + sh[:, None]
+    out = h @ params["final_proj"]["w"] + params["final_proj"]["b"]  # f32
+    return jnp.where(mask[..., None], out, 0.0)
+
+
+def dit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    cond: jnp.ndarray,
+    text_ids: jnp.ndarray,
+    t: jnp.ndarray,
+    mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Full forward: embed text then denoise. See ``dit_forward_embedded``."""
+    text_emb = dit_text_embed(params, cfg, text_ids)
+    return dit_forward_embedded(params, cfg, x, cond, text_emb, t, mask)
