@@ -188,4 +188,7 @@ class TestDiTProperties:
         text[:, :32] = 5
         out2 = core.synthesize_batch(wave, ref_len, text, total, seed=7)
         out1 = core.synthesize_batch(wave[:1], ref_len[:1], text[:1], total[:1], seed=7)
-        np.testing.assert_allclose(out1[0], out2[0], atol=1e-4)
+        # XLA may fuse differently per batch shape; allow 1 int16 LSB.
+        np.testing.assert_allclose(
+            out1[0].astype(np.int32), out2[0].astype(np.int32), atol=1
+        )

@@ -68,7 +68,10 @@ class TestMicroBatcher:
             outs = [f.result(timeout=120) for f in futures]
         finally:
             shared.shutdown()
-        np.testing.assert_allclose(ref, outs[0], atol=1e-5)
+        # XLA may fuse differently per batch shape; allow 1 int16 LSB.
+        np.testing.assert_allclose(
+            ref.astype(np.int32), outs[0].astype(np.int32), atol=1
+        )
 
     def test_mixed_buckets_grouped_separately(self, core):
         b = MicroBatcher(core, max_batch=4, max_wait_ms=30)
@@ -161,7 +164,10 @@ class TestMultiHostLoop:
             np.array([128 - 16], np.int32),
             seed=np.array([42], np.uint32),
         )
-        np.testing.assert_allclose(out_loop, direct[0], atol=1e-5)
+        # XLA may fuse differently per batch shape; allow 1 int16 LSB.
+        np.testing.assert_allclose(
+            out_loop.astype(np.int32), direct[0].astype(np.int32), atol=1
+        )
 
     def test_submit_before_start_raises(self, core):
         from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop

@@ -244,10 +244,9 @@ class TTSEngine:
         return wave, ids
 
     def _slice_output(self, plan: ChunkPlan, row: np.ndarray) -> np.ndarray:
-        """Trim the reference prefix + padding, convert to int16."""
+        """Trim the reference prefix + padding from a device int16 row."""
         hop = self.config.hop_length
-        seg = np.clip(row[plan.ref_len * hop : plan.total_len * hop], -1.0, 1.0)
-        return (seg * 32767.0).astype(np.int16)
+        return row[plan.ref_len * hop : plan.total_len * hop]
 
     def _run_chunks_batched(
         self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray

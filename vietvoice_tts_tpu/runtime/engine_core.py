@@ -121,9 +121,12 @@ class EngineCore:
         frontend = self.frontend
 
         def chunk_fn(params, wave, ref_len, text_ids, total_len, row_seeds):
-            # wave: [B, n_frames*hop] f32; ref_len/total_len: [B] i32;
+            # wave: [B, n_frames*hop] f16; ref_len/total_len: [B] i32;
             # text_ids: [B, n_frames] i32 (-1 padded); row_seeds: [B] u32.
-            mel = frontend(wave)  # [B, N, n_mels]
+            # f16 in / packed-int16 out: the TPU here sits behind a tunnel
+            # whose host links run at tens of MB/s with high variance, so
+            # every transferred byte is worth more than any device op.
+            mel = frontend(wave.astype(jnp.float32))  # [B, N, n_mels]
             frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
             is_ref = frame_idx[None, :] < ref_len[:, None]
             mask = frame_idx[None, :] < total_len[:, None]
@@ -138,7 +141,15 @@ class EngineCore:
             latent = jnp.where(is_ref[..., None], mel, latent)
             latent = jnp.where(mask[..., None], latent, 0.0)
             wav = vocoder_forward(params["vocoder"], voc_cfg, latent)
-            return wav  # [B, n_frames*hop] f32
+            # PCM-exact int16 on device (same trunc semantics as
+            # ``(x*32767).astype(np.int16)`` in the reference's
+            # normalize path), packed as int32 pairs: int16 itself takes a
+            # slow conversion path through the transfer tunnel.
+            pcm = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+            b = pcm.shape[0]
+            return jax.lax.bitcast_convert_type(
+                pcm.reshape(b, -1, 2), jnp.int32
+            )  # [B, n_frames*hop/2] i32
 
         # Committed input shardings (params TP-sharded, batch data-sharded)
         # propagate through GSPMD — no per-program annotation needed.
@@ -167,7 +178,7 @@ class EngineCore:
         total_len: np.ndarray,  # [B] int32 (frames, incl. reference)
         seed: int | np.ndarray = 0,
     ) -> np.ndarray:
-        """Run one padded batch; returns [B, N*hop] float32 waveforms.
+        """Run one padded batch; returns [B, N*hop] int16 waveforms.
 
         ``seed`` may be a scalar (applied to every row) or a [B] array of
         per-utterance seeds; per-row noise derivation makes each row's output
@@ -177,21 +188,22 @@ class EngineCore:
         n_frames = wave.shape[1] // self.config.hop_length
         row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
         fn = self.chunk_fn(b, n_frames)
+        # Numpy args go straight into the jit call: one dispatch moves all
+        # five arrays instead of five explicit (latency-bound) transfers.
         args = (
-            jnp.asarray(wave, jnp.float32),
-            jnp.asarray(ref_len, jnp.int32),
-            jnp.asarray(text_ids, jnp.int32),
-            jnp.asarray(total_len, jnp.int32),
-            jnp.asarray(row_seeds),
+            np.asarray(wave, np.float16),
+            np.asarray(ref_len, np.int32),
+            np.asarray(text_ids, np.int32),
+            np.asarray(total_len, np.int32),
+            row_seeds,
         )
         if self.mesh is not None:
             from ..parallel.sharding import shard_batch
 
             args = shard_batch(self.mesh, *args)
         with self.timer.stage("chunk_pipeline"):
-            out = fn(self.params, *args)
-            out = np.asarray(jax.block_until_ready(out))
-        return out
+            packed = jax.device_get(fn(self.params, *args))
+        return packed.view(np.int16).reshape(b, -1)
 
     def warmup(self, batches=(1,), buckets=None) -> None:
         """Ahead-of-time compile the configured shape buckets."""
