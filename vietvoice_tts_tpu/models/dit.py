@@ -180,10 +180,18 @@ def _text_convnext(p: dict, x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def _conv_pos_embed(conv_pos: list, h: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise(k=31) → Mish → pointwise position embedding. h: [B, N, C]."""
+    """Depthwise(k=31) → Mish → pointwise position embedding. h: [B, N, C].
+
+    Weights are cast to the stream dtype up front — f32 weights would
+    silently promote the whole residual stream to f32 (jnp promotion) and
+    double its HBM traffic."""
     from .vocoder import _dwconv
 
-    pos = _mish(_dwconv(conv_pos[0], h))
+    dw = {
+        "w": conv_pos[0]["w"].astype(h.dtype),
+        "b": conv_pos[0]["b"].astype(h.dtype),
+    }
+    pos = _mish(_dwconv(dw, h))
     pw = conv_pos[1]
     return pos @ pw["w"].astype(h.dtype) + pw["b"].astype(h.dtype)
 

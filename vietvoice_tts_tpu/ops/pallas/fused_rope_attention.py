@@ -69,7 +69,7 @@ def fused_qkv_rope_attention(
     sin: jnp.ndarray,
     mask: jnp.ndarray | None,  # [B, N] bool
     heads: int,
-    block_q: int = 256,
+    block_q: int = 512,
 ) -> jnp.ndarray:
     """Multi-head RoPE attention → [B, N, H·D]."""
     b, n, three_hd = qkv.shape

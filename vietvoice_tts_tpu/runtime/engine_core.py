@@ -102,15 +102,36 @@ class EngineCore:
 
     # -- Parameter placement -------------------------------------------------
 
+    # Leaves whose enclosing module is pure matmul work; placing them
+    # directly in compute_dtype removes a 1 GB/step f32→bf16 convert pass
+    # (the forward casts with .astype(compute_dtype) at every use).
+    _MATMUL_KEYS = frozenset(
+        {"qkv", "attn_out", "ff1", "ff2", "input_proj", "pw1", "pw2", "conv_pos"}
+    )
+
+    def _inference_dtype_policy(self, params):
+        """Cast matmul weights to compute_dtype; keep norm/ada/head f32."""
+        dtype = self.dit_cfg.compute_dtype
+        if dtype == jnp.float32:
+            return jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
+
+        def cast(path, x):
+            keys = {
+                p.key for p in path if isinstance(p, jax.tree_util.DictKey)
+            }
+            if keys & self._MATMUL_KEYS:
+                return jnp.asarray(x, dtype)
+            return jnp.asarray(x, jnp.float32)
+
+        return jax.tree_util.tree_map_with_path(cast, params)
+
     def _place_params(self, params):
         """Put params on device; shard over the mesh when one is active."""
         if self.mesh is not None:
             from ..parallel.sharding import shard_params
 
             return shard_params(params, self.mesh, self.dit_cfg, self.voc_cfg)
-        return jax.device_put(
-            jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params)
-        )
+        return jax.device_put(self._inference_dtype_policy(params))
 
     # -- The fused chunk program --------------------------------------------
 
