@@ -57,17 +57,25 @@ def main() -> None:
     core.synthesize_batch(wave, ref_len, text_ids, total_len)
     log(f"compile+first run: {time.perf_counter() - t0:.1f}s")
 
-    iters = 3
-    times = []
+    # Steady-state serving throughput: dispatch batches back-to-back the way
+    # the micro-batcher does (async dispatch, ≤2 in flight), so host↔device
+    # transfer overlaps device compute.
+    iters = 4
+    t0 = time.perf_counter()
+    fetches = []
     for i in range(iters):
-        t0 = time.perf_counter()
-        core.synthesize_batch(wave, ref_len, text_ids, total_len, seed=i)
-        times.append(time.perf_counter() - t0)
-    step_time = min(times)
+        fetches.append(
+            core.synthesize_batch_async(wave, ref_len, text_ids, total_len, seed=i)
+        )
+        if len(fetches) > 2:
+            fetches.pop(0)()
+    for f in fetches:
+        f()
+    step_time = (time.perf_counter() - t0) / iters
     generated_audio_s = batch * (total_frames - ref_frames) * hop / sr
     rtf = generated_audio_s / step_time
-    log(f"batch pipeline: {step_time * 1e3:.1f} ms -> {generated_audio_s:.1f} "
-        f"audio-s -> {rtf:.1f}x realtime/chip (times={['%.3f' % t for t in times]})")
+    log(f"batch pipeline: {step_time * 1e3:.1f} ms/batch -> {generated_audio_s:.1f} "
+        f"audio-s/batch -> {rtf:.1f}x realtime/chip (pipelined, {iters} batches)")
 
     # ---- p50 short-sentence latency through the public API (config 1) ----
     text = "Xin chào, đây là bài kiểm tra tổng hợp giọng nói tiếng Việt."

@@ -226,6 +226,46 @@ class EngineCore:
             packed = jax.device_get(fn(self.params, *args))
         return packed.view(np.int16).reshape(b, -1)
 
+    def synthesize_batch_async(
+        self,
+        wave: np.ndarray,
+        ref_len: np.ndarray,
+        text_ids: np.ndarray,
+        total_len: np.ndarray,
+        seed: int | np.ndarray = 0,
+    ):
+        """Dispatch one padded batch without blocking.
+
+        JAX dispatch is asynchronous: the returned thunk owns the in-flight
+        device computation, and calling it fetches + unpacks the result.
+        The serving batcher uses this to overlap the (slow, tunneled)
+        host↔device transfers of batch k with the device compute of batch
+        k+1 — the transfer cost disappears from steady-state throughput.
+        """
+        b = wave.shape[0]
+        n_frames = wave.shape[1] // self.config.hop_length
+        row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
+        fn = self.chunk_fn(b, n_frames)
+        args = (
+            np.asarray(wave, np.float16),
+            np.asarray(ref_len, np.int32),
+            np.asarray(text_ids, np.int32),
+            np.asarray(total_len, np.int32),
+            row_seeds,
+        )
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_batch
+
+            args = shard_batch(self.mesh, *args)
+        out = fn(self.params, *args)  # in flight
+
+        def fetch() -> np.ndarray:
+            with self.timer.stage("chunk_fetch"):
+                packed = jax.device_get(out)
+            return packed.view(np.int16).reshape(b, -1)
+
+        return fetch
+
     def warmup(self, batches=(1,), buckets=None) -> None:
         """Ahead-of-time compile the configured shape buckets."""
         buckets = buckets or self.config.frame_buckets

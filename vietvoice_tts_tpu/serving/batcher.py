@@ -66,8 +66,17 @@ class MicroBatcher:
         self._queue: "queue.Queue[Optional[ChunkJob]]" = queue.Queue()
         self._stats = BatcherStats()
         self._running = True
+        # Two-stage pipeline: the dispatcher thread enqueues async device
+        # work; the fetcher thread blocks on (slow, tunneled) D2H transfers.
+        # maxsize bounds in-flight batches — dispatch of batch k+2 waits
+        # until batch k's result has been fetched (backpressure).
+        self._inflight: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=2)
         self._thread = threading.Thread(target=self._loop, daemon=True, name="vv-batcher")
+        self._fetcher = threading.Thread(
+            target=self._fetch_loop, daemon=True, name="vv-batcher-fetch"
+        )
         self._thread.start()
+        self._fetcher.start()
 
     # -- Client side ---------------------------------------------------------
 
@@ -85,6 +94,8 @@ class MicroBatcher:
         self._running = False
         self._queue.put(None)
         self._thread.join(timeout=timeout)
+        self._inflight.put(None)
+        self._fetcher.join(timeout=timeout)
 
     # -- Dispatcher ----------------------------------------------------------
 
@@ -114,20 +125,35 @@ class MicroBatcher:
 
     def _run_batch(self, jobs: list[ChunkJob]) -> None:
         bucket = jobs[0].bucket
-        hop = self.core.config.hop_length
-        b = len(jobs)
         wave = np.stack([j.wave for j in jobs])
         ref_len = np.array([j.ref_len for j in jobs], np.int32)
         total_len = np.array([j.total_len for j in jobs], np.int32)
         text_ids = np.stack([j.text_ids for j in jobs])
         seeds = np.array([j.seed for j in jobs], np.uint32)
-        out = self.core.synthesize_batch(wave, ref_len, text_ids, total_len, seed=seeds)
-        self._stats.batches += 1
-        self._stats.jobs += b
-        self._stats.padded_rows += out.shape[0] - b
-        for row, job in enumerate(jobs):
-            job.future.set_result(out[row])
-        log.debug("dispatched batch: bucket=%d size=%d", bucket, b)
+        fetch = self.core.synthesize_batch_async(
+            wave, ref_len, text_ids, total_len, seed=seeds
+        )
+        self._inflight.put((fetch, jobs))
+        log.debug("dispatched batch: bucket=%d size=%d", bucket, len(jobs))
+
+    def _fetch_loop(self) -> None:
+        while True:
+            item = self._inflight.get()
+            if item is None:
+                return
+            fetch, jobs = item
+            try:
+                out = fetch()
+            except Exception as e:  # noqa: BLE001 — propagate per-job
+                for job in jobs:
+                    if not job.future.done():
+                        job.future.set_exception(e)
+                continue
+            self._stats.batches += 1
+            self._stats.jobs += len(jobs)
+            self._stats.padded_rows += out.shape[0] - len(jobs)
+            for row, job in enumerate(jobs):
+                job.future.set_result(out[row])
 
     def _loop(self) -> None:
         while self._running:
