@@ -192,3 +192,70 @@ class TestDiTProperties:
         np.testing.assert_allclose(
             out1[0].astype(np.int32), out2[0].astype(np.int32), atol=1
         )
+
+    def test_async_matches_sync(self, tiny_engine):
+        """synthesize_batch_async returns the same int16 audio as the
+        blocking path (same program, deferred fetch)."""
+        core = tiny_engine.engine_core
+        hop = core.config.hop_length
+        n = 128
+        rng = np.random.default_rng(1)
+        wave = rng.uniform(-0.5, 0.5, (2, n * hop)).astype(np.float32)
+        ref_len = np.array([16, 16], np.int32)
+        total = np.array([96, 128], np.int32)
+        text = np.full((2, n), -1, np.int32)
+        text[:, :32] = 5
+        fetch = core.synthesize_batch_async(wave, ref_len, text, total, seed=3)
+        sync = core.synthesize_batch(wave, ref_len, text, total, seed=3)
+        out = fetch()
+        assert out.dtype == np.int16
+        np.testing.assert_array_equal(out, sync)
+
+    def test_int16_packing_is_pcm_exact(self, tiny_engine):
+        """The device-side int16 conversion equals host-side
+        (clip(x)*32767).astype(int16) of the float pipeline output."""
+        import jax
+        import jax.numpy as jnp
+
+        core = tiny_engine.engine_core
+        hop = core.config.hop_length
+        n = 128
+        rng = np.random.default_rng(2)
+        wave = rng.uniform(-0.5, 0.5, (1, n * hop)).astype(np.float32)
+        ref_len = np.array([16], np.int32)
+        total = np.array([128], np.int32)
+        text = np.full((1, n), 5, np.int32)
+
+        packed = core.synthesize_batch(wave, ref_len, text, total, seed=0)
+
+        # Re-run the identical program but stop before the int16 packing.
+        from vietvoice_tts_tpu.models.sampler import flow_matching_sample
+        from vietvoice_tts_tpu.models.vocoder import vocoder_forward
+
+        def float_pipeline(params, w, rl, ti, tl, seeds):
+            mel = core.frontend(w.astype(jnp.float32))
+            frame_idx = jnp.arange(n, dtype=jnp.int32)
+            is_ref = frame_idx[None, :] < rl[:, None]
+            mask = frame_idx[None, :] < tl[:, None]
+            cond = jnp.where(is_ref[..., None], mel, 0.0)
+            key = jax.random.PRNGKey(core.config.random_seed)
+            latent = flow_matching_sample(
+                params["dit"], core.dit_cfg, core.sampler_cfg, key, cond, ti,
+                mask, seeds,
+            )
+            latent = jnp.where(is_ref[..., None], mel, latent)
+            latent = jnp.where(mask[..., None], latent, 0.0)
+            return vocoder_forward(params["vocoder"], core.voc_cfg, latent)
+
+        f32 = np.asarray(
+            jax.jit(float_pipeline)(
+                core.params,
+                jnp.asarray(wave, jnp.float16),
+                jnp.asarray(ref_len),
+                jnp.asarray(text),
+                jnp.asarray(total),
+                jnp.zeros((1,), jnp.uint32),
+            )
+        )
+        expect = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
+        np.testing.assert_array_equal(packed, expect)

@@ -161,26 +161,52 @@ class MultiHostServingLoop:
         batch.wave, batch.ref_len, batch.total_len, batch.text_ids, batch.seeds = payload
         return batch
 
+    def _resolve(self, pending) -> None:
+        """Fetch a dispatched batch's result and settle its futures."""
+        if pending is None:
+            return
+        fetch, jobs = pending
+        try:
+            out = fetch()
+            for row, job in enumerate(jobs):
+                job.future.set_result(out[row])
+        except Exception as e:  # noqa: BLE001 — propagate per-job
+            log.error("Serving loop batch failed: %s", e)
+            for job in jobs:
+                if not job.future.done():
+                    job.future.set_exception(e)
+
     def _loop(self) -> None:
+        # One batch stays in flight across iterations: dispatch batch k,
+        # then resolve batch k−1 — the (slow, tunneled) result fetch
+        # overlaps draining/broadcasting/dispatching the next batch while
+        # all hosts still enter the same program in lockstep.
+        pending = None
         while self._running:
             jobs: list[ChunkJob] = []
             batch: Optional[_Batch] = None
             if self.is_coordinator:
                 jobs, batch = self._drain()
                 if batch.n_real == 0 and self.n_hosts == 1:
+                    self._resolve(pending)
+                    pending = None
                     continue  # single host: no heartbeat needed
             batch = self._broadcast(batch)
             if batch is None:
+                self._resolve(pending)
+                pending = None
                 continue
             try:
-                out = self.core.synthesize_batch(
+                fetch = self.core.synthesize_batch_async(
                     batch.wave, batch.ref_len, batch.text_ids, batch.total_len,
                     seed=batch.seeds,
                 )
-                for row, job in enumerate(jobs):
-                    job.future.set_result(out[row])
             except Exception as e:  # noqa: BLE001 — propagate per-job
-                log.error("Serving loop batch failed: %s", e)
+                log.error("Serving loop dispatch failed: %s", e)
                 for job in jobs:
                     if not job.future.done():
                         job.future.set_exception(e)
+                fetch = None
+            self._resolve(pending)
+            pending = (fetch, jobs) if fetch is not None else None
+        self._resolve(pending)
