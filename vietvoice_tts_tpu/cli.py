@@ -115,6 +115,12 @@ Interactive mode: run without arguments.
     parser.add_argument(
         "--mesh-model", type=int, default=1, help="Model-parallel mesh axis size"
     )
+    parser.add_argument(
+        "--warmup",
+        action="store_true",
+        help="Precompile every configured (batch, bucket) program before "
+        "synthesis (fills the persistent XLA cache; useful before serving)",
+    )
     return parser
 
 
@@ -175,6 +181,9 @@ def main() -> None:
 
         config = create_config(args)
         api = TTSApi(config)
+        if args.warmup:
+            print("Warming up (compiling all shape buckets)...")
+            api.engine.warmup()
         duration = api.synthesize_to_file(
             text=args.text,
             output_path=args.output,

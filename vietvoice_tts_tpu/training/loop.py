@@ -101,7 +101,9 @@ def train(
         )
         log.info("Resumed from checkpoint step %d", start_step)
 
-    step_fn = jax.jit(make_train_step(dit_cfg, train_config))
+    # Donating (params, opt_state) lets XLA update the optimizer state in
+    # place — without it peak HBM holds two full copies of both.
+    step_fn = jax.jit(make_train_step(dit_cfg, train_config), donate_argnums=(0, 1))
     key = jax.random.PRNGKey(model_config.random_seed)
     losses: list[float] = []
     step = start_step
