@@ -125,16 +125,27 @@ class MicroBatcher:
 
     def _run_batch(self, jobs: list[ChunkJob]) -> None:
         bucket = jobs[0].bucket
-        wave = np.stack([j.wave for j in jobs])
-        ref_len = np.array([j.ref_len for j in jobs], np.int32)
-        total_len = np.array([j.total_len for j in jobs], np.int32)
-        text_ids = np.stack([j.text_ids for j in jobs])
-        seeds = np.array([j.seed for j in jobs], np.uint32)
+        # Pad the row count to the next power of two so the jit cache holds
+        # at most log2(max_batch)+1 programs per bucket instead of one per
+        # distinct batch size (compiles cost minutes on this host).
+        b = len(jobs)
+        padded = 1 << (b - 1).bit_length()
+        wave = np.zeros((padded, jobs[0].wave.shape[0]), np.float32)
+        ref_len = np.full((padded,), 8, np.int32)
+        total_len = np.full((padded,), 16, np.int32)
+        text_ids = np.full((padded, bucket), -1, np.int32)
+        seeds = np.zeros((padded,), np.uint32)
+        for row, j in enumerate(jobs):
+            wave[row] = j.wave
+            ref_len[row] = j.ref_len
+            total_len[row] = j.total_len
+            text_ids[row] = j.text_ids
+            seeds[row] = j.seed
         fetch = self.core.synthesize_batch_async(
             wave, ref_len, text_ids, total_len, seed=seeds
         )
         self._inflight.put((fetch, jobs))
-        log.debug("dispatched batch: bucket=%d size=%d", bucket, len(jobs))
+        log.debug("dispatched batch: bucket=%d size=%d padded=%d", bucket, b, padded)
 
     def _fetch_loop(self) -> None:
         while True:
