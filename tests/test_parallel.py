@@ -163,3 +163,61 @@ class TestUlyssesSequenceParallel:
         with pytest.raises(ValueError):
             ulysses_attention(q, q, q, jnp.asarray(cos), jnp.asarray(sin),
                               jnp.ones((1, 16), bool), mesh=mesh)
+
+
+class TestRingSequenceParallel:
+    """ppermute ring attention == single-device attention (online softmax)."""
+
+    def test_matches_single_device(self):
+        from vietvoice_tts_tpu.ops.attention import attention
+        from vietvoice_tts_tpu.ops.rope import apply_rope, rope_tables
+        from vietvoice_tts_tpu.parallel.sequence import (
+            ring_attention,
+            sequence_sharding,
+        )
+
+        B, N, H, D = 2, 64, 6, 16  # 6 heads: Ulysses would reject sp=4
+        rng = np.random.default_rng(3)
+        q, k, v = (
+            rng.standard_normal((B, N, H, D)).astype(np.float32) for _ in range(3)
+        )
+        mask = np.ones((B, N), bool)
+        mask[1, 40:] = False
+        cos, sin = rope_tables(N, D)
+
+        qb = jnp.moveaxis(jnp.asarray(q), 1, 2)
+        kb = jnp.moveaxis(jnp.asarray(k), 1, 2)
+        vb = jnp.moveaxis(jnp.asarray(v), 1, 2)
+        ref = np.moveaxis(
+            np.asarray(
+                attention(
+                    apply_rope(qb, cos, sin), apply_rope(kb, cos, sin), vb,
+                    jnp.asarray(mask), use_pallas=False,
+                )
+            ),
+            1,
+            2,
+        )
+
+        mesh = make_mesh(data=2, model=4)
+        shard = sequence_sharding(mesh)
+        qs, ks, vs = (jax.device_put(jnp.asarray(x), shard) for x in (q, k, v))
+        out = np.asarray(
+            ring_attention(
+                qs, ks, vs, jnp.asarray(cos), jnp.asarray(sin),
+                jnp.asarray(mask), mesh=mesh,
+            )
+        )
+        np.testing.assert_allclose(out[0], ref[0], atol=2e-5)
+        np.testing.assert_allclose(out[1, :40], ref[1, :40], atol=2e-5)
+
+    def test_rejects_indivisible_frames(self):
+        from vietvoice_tts_tpu.ops.rope import rope_tables
+        from vietvoice_tts_tpu.parallel.sequence import ring_attention
+
+        mesh = make_mesh(data=2, model=4)
+        q = jnp.zeros((1, 18, 4, 8))  # 18 frames not divisible by 4
+        cos, sin = rope_tables(18, 8)
+        with pytest.raises(ValueError):
+            ring_attention(q, q, q, jnp.asarray(cos), jnp.asarray(sin),
+                           jnp.ones((1, 18), bool), mesh=mesh)

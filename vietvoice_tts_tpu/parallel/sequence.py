@@ -77,3 +77,87 @@ def ulysses_attention(
 def sequence_sharding(mesh: Mesh, axis: str = "model") -> NamedSharding:
     """Sharding for [B, N, ...] activations with the frame axis on ``axis``."""
     return NamedSharding(mesh, P(None, axis))
+
+
+def ring_attention(
+    q: jnp.ndarray,  # [B, N, H, D] — frame axis GLOBALLY sharded on `axis`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,  # [N, D] rope tables (replicated)
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,  # [B, N] bool (replicated)
+    mesh: Mesh,
+    axis: str = "model",
+) -> jnp.ndarray:
+    """Ring sequence-parallel attention → [B, N, H, D] sharded like ``q``.
+
+    The complement to :func:`ulysses_attention` for when the head count is
+    NOT divisible by the axis size (Ulysses' hard requirement): K/V blocks
+    circulate around the ring via ``ppermute`` (one ICI hop per step) while
+    each device folds the visiting block into a running online softmax
+    (max/sum/weighted-output accumulators — the flash-attention merge).
+    Per device: sp matmul pairs of [N/sp, N/sp] instead of one [N/sp, N];
+    communication overlaps compute because the permute for step s+1 is
+    issued against data the current step no longer needs.
+    """
+    sp = mesh.shape[axis]
+    b, n, h, d = q.shape
+    if n % sp != 0:
+        raise ValueError(f"frames {n} not divisible by ring size {sp}")
+
+    def local(q_l, k_l, v_l, cos_l, sin_l, mask_l):
+        # q_l/k_l/v_l: [B, n/sp, H, D]; cos_l/sin_l: [n/sp, D] — local rows;
+        # mask_l: [B, n/sp] local key validity.
+        # RoPE with GLOBAL positions (tables arrive pre-sharded like q); a
+        # k block carries its rotation with it around the ring.
+        q_b = apply_rope(jnp.moveaxis(q_l, 1, 2), cos_l, sin_l)  # [B,H,nl,D]
+        k_b = apply_rope(jnp.moveaxis(k_l, 1, 2), cos_l, sin_l)
+        v_b = jnp.moveaxis(v_l, 1, 2)
+        scale = d**-0.5
+
+        perm = [(i, (i + 1) % sp) for i in range(sp)]
+
+        def step(carry, _):
+            k_c, v_c, m_c, o_acc, l_acc, m_acc = carry
+            s = (
+                jnp.einsum(
+                    "bhqd,bhkd->bhqk", q_b, k_c,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            s = jnp.where(m_c[:, None, None, :], s, -1e30)
+            m_new = jnp.maximum(m_acc, jnp.max(s, axis=-1))  # [B,H,nl]
+            alpha = jnp.exp(m_acc - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            l_new = l_acc * alpha + jnp.sum(p, axis=-1)
+            o_new = o_acc * alpha[..., None] + jnp.einsum(
+                "bhqk,bhkd->bhqd", p.astype(v_c.dtype), v_c,
+                preferred_element_type=jnp.float32,
+            )
+            # Rotate K/V/mask to the next device for the following step.
+            k_n = jax.lax.ppermute(k_c, axis, perm)
+            v_n = jax.lax.ppermute(v_c, axis, perm)
+            m_n = jax.lax.ppermute(m_c, axis, perm)
+            return (k_n, v_n, m_n, o_new, l_new, m_new), None
+
+        # Derive accumulators from q_b so shard_map types them as varying
+        # over the ring axis (a plain jnp.zeros is unvarying and the scan
+        # carry types would not match).
+        o0 = jnp.zeros_like(q_b, jnp.float32)
+        l0 = jnp.zeros_like(q_b[..., 0], jnp.float32)
+        m0 = l0 - jnp.inf
+        (_, _, _, o, l, _), _ = jax.lax.scan(
+            step, (k_b, v_b, mask_l, o0, l0, m0), None, length=sp
+        )
+        o = o / jnp.maximum(l[..., None], 1e-30)
+        return jnp.moveaxis(o.astype(q_l.dtype), 1, 2)  # [B, nl, H, D]
+
+    spec_x = P(None, axis, None, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_x, spec_x, spec_x, P(axis), P(axis), P(None, axis)),
+        out_specs=spec_x,
+    )
+    return fn(q, k, v, cos, sin, mask)
