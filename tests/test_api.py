@@ -221,3 +221,33 @@ class TestObservability:
         assert resp.status_code == 200
         data = resp.json()
         assert "stage_seconds" in data
+
+
+class TestEndToEndNoMocks:
+    """One true end-to-end REST round trip: no patched engine — the route
+    drives the real tiny model through the full device pipeline."""
+
+    def test_synthesize_real_engine(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+        from vietvoice_tts_tpu.utils.wavio import read_wav
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            resp = run(
+                client.post(
+                    "/api/v1/synthesize",
+                    json={"text": "xin chào thế giới", "speed": 0.9},
+                )
+            )
+            assert resp.status_code in (200, 201)
+            assert resp.content[:4] == b"RIFF"
+            samples, sr = read_wav(resp.content)
+            assert sr == 24000
+            assert np.abs(samples).max() > 0
+        finally:
+            te.reset_engine()
+            te._engine_config = old_cfg
