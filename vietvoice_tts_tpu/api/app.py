@@ -45,6 +45,28 @@ _server_start_time = monotonic()
 app = App()
 
 
+def _warmup_in_background() -> None:
+    """Load the engine + compile every (batch, bucket) program off the
+    request path. Enabled with WARMUP_ON_START=1; first requests then pay
+    neither model load nor XLA compile."""
+    import threading
+
+    def work():
+        try:
+            from .tts_engine import get_tts_engine
+
+            get_tts_engine().engine.warmup()
+            log.info("Warmup complete: all shape buckets compiled")
+        except Exception as e:  # noqa: BLE001 — warmup is best-effort
+            log.error("Warmup failed: %s", e)
+
+    threading.Thread(target=work, daemon=True, name="vv-warmup").start()
+
+
+if settings.WARMUP_ON_START:  # pragma: no cover — deploy-time switch
+    _warmup_in_background()
+
+
 @app.get("/api/v1/health")
 async def health() -> HealthResponse:
     """Health check for load balancers and monitors."""

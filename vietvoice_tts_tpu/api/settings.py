@@ -36,6 +36,11 @@ class Settings:
             env.get("TMP_DIR_PATH", Path(tempfile.gettempdir()) / "vietvoice_tts_cache")
         )
         self.FILE_LIFESPAN_SECONDS = int(env.get("FILE_LIFESPAN_SECONDS", "4800"))
+        # Load the model and compile all shape buckets at server startup
+        # (background thread) instead of on the first request.
+        self.WARMUP_ON_START = env.get("WARMUP_ON_START", "0").lower() in (
+            "1", "true", "yes",
+        )
 
 
 settings = Settings()
