@@ -259,3 +259,46 @@ class TestDiTProperties:
         )
         expect = (np.clip(f32, -1.0, 1.0) * 32767.0).astype(np.int16)
         np.testing.assert_array_equal(packed, expect)
+
+
+class TestSamplerGrid:
+    def test_nfe_semantics_match_reference(self):
+        """nfe_step=32 must mean 31 velocity evaluations (reference loop is
+        ``range(0, nfe_step-1, fuse_nfe)``, core/tts_engine.py:157)."""
+        from vietvoice_tts_tpu.models.sampler import SamplerConfig, sway_time_grid
+
+        cfg = SamplerConfig(nfe_step=32)
+        grid = np.asarray(sway_time_grid(cfg))
+        assert grid.shape == (32,)  # 31 intervals
+        assert grid[0] == 0.0 and abs(grid[-1] - 1.0) < 1e-6
+        assert np.all(np.diff(grid) > 0)
+
+    def test_nfe_one_is_identity(self):
+        from vietvoice_tts_tpu.models.sampler import SamplerConfig, sway_time_grid
+
+        grid = np.asarray(sway_time_grid(SamplerConfig(nfe_step=1)))
+        assert grid.shape == (1,)  # zero integration steps
+
+
+class TestWarmupGrid:
+    def test_warmup_covers_batcher_padding(self, tiny_engine):
+        """warmup() must compile exactly the padded batch shapes the
+        micro-batcher dispatches, so batch 2 never hits a cold compile."""
+        from vietvoice_tts_tpu.config import batch_grid
+
+        tiny_engine.warmup(buckets=(128,))
+        cached = set(tiny_engine.engine_core._jit_cache)
+        for b in batch_grid(tiny_engine.config.max_batch_size):
+            assert (b, 128) in cached, f"batch {b} not warmed: {cached}"
+
+
+class TestBatchGridHelpers:
+    def test_grid_powers_of_two_capped(self):
+        from vietvoice_tts_tpu.config import batch_grid, pad_batch_size
+
+        assert batch_grid(8) == (1, 2, 4, 8)
+        assert batch_grid(6) == (1, 2, 4, 6)
+        assert batch_grid(1) == (1,)
+        assert pad_batch_size(3, 8) == 4
+        assert pad_batch_size(5, 6) == 6
+        assert pad_batch_size(7, 6) == 6  # clamps, never exceeds max

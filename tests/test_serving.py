@@ -133,6 +133,80 @@ class TestMicroBatcher:
             tiny_engine.batcher = None
 
 
+class _StubCore:
+    """Instant fake EngineCore capturing dispatched batch shapes — lets the
+    batcher's queueing/padding behavior be timed without device work."""
+
+    def __init__(self, config):
+        self.config = config
+        self.dispatched_rows: list[int] = []
+
+    def synthesize_batch_async(self, wave, ref_len, text_ids, total_len, seed):
+        self.dispatched_rows.append(wave.shape[0])
+        out = np.zeros((wave.shape[0], wave.shape[1]), np.int16)
+        return lambda: out
+
+
+class TestBatcherLatencyAndPadding:
+    def test_collect_wait_is_absolute_deadline(self, core):
+        """Co-riders arriving inside the window must NOT extend it: total
+        added latency is bounded by max_wait_ms, not max_batch × max_wait_ms."""
+        import time as _time
+
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=8, max_wait_ms=250)
+        try:
+            jobs = [_make_job(core, 128, seed=i) for i in range(4)]
+            t0 = _time.monotonic()
+            futures = [b.submit(jobs[0])]
+
+            def trickle():
+                for j in jobs[1:]:
+                    _time.sleep(0.08)
+                    futures.append(b.submit(j))
+
+            t = threading.Thread(target=trickle)
+            t.start()
+            futures[0].result(timeout=10)
+            elapsed = _time.monotonic() - t0
+            t.join()
+            for f in futures:
+                f.result(timeout=10)
+            # Old cumulative behavior: ~3×80ms arrivals + a full 250 ms
+            # timeout ≈ 0.49 s minimum. Absolute deadline: ≈ 0.25 s.
+            assert elapsed < 0.45, f"collect wait not bounded: {elapsed:.3f}s"
+        finally:
+            b.shutdown()
+
+    def test_padding_never_exceeds_max_batch(self, core):
+        """5 jobs with max_batch=6 must dispatch ≤6 rows (not pow2 → 8)."""
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=6, max_wait_ms=150)
+        try:
+            futures = [b.submit(_make_job(core, 128, seed=i)) for i in range(5)]
+            for f in futures:
+                f.result(timeout=10)
+            assert stub.dispatched_rows, "nothing dispatched"
+            assert all(r <= 6 for r in stub.dispatched_rows), stub.dispatched_rows
+        finally:
+            b.shutdown()
+
+    def test_padding_follows_batch_grid(self, core):
+        """Dispatched row counts come from the warmed batch grid only."""
+        from vietvoice_tts_tpu.config import batch_grid
+
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=8, max_wait_ms=150)
+        try:
+            futures = [b.submit(_make_job(core, 128, seed=i)) for i in range(3)]
+            for f in futures:
+                f.result(timeout=10)
+            grid = set(batch_grid(8))
+            assert all(r in grid for r in stub.dispatched_rows), stub.dispatched_rows
+        finally:
+            b.shutdown()
+
+
 class TestMultiHostLoop:
     """Single-host degradation of the lockstep pod-slice serving loop."""
 

@@ -90,6 +90,15 @@ class ModelConfig:
     use_pallas: bool = True  # fused Pallas kernels where available (TPU only)
     donate_sampler_state: bool = True
     jax_compilation_cache_dir: Optional[str] = None
+    # Host→device dtype for the reference waveform. float16 halves bytes over
+    # a slow tunneled link at ~1e-3 amplitude quantization of the *reference*
+    # audio only (synthesis output is unaffected); use float32 when the host
+    # link is fast and bit-exact conditioning matters.
+    transfer_dtype: str = "float16"
+    # Serve only packs converted from real weights: when False, loading a
+    # pack whose model_meta.json carries "synthetic": true raises instead of
+    # serving random-weight noise with HTTP 200.
+    allow_synthetic_pack: bool = True
 
     # ---- Mesh / parallelism ----
     mesh_data_axis: int = 1  # utterance/chunk batch parallelism
@@ -117,6 +126,8 @@ class ModelConfig:
             raise ValueError("n_fft must be a multiple of hop_length")
         if tuple(self.frame_buckets) != tuple(sorted(self.frame_buckets)):
             raise ValueError("frame_buckets must be sorted ascending")
+        if self.transfer_dtype not in ("float16", "float32", "bfloat16"):
+            raise ValueError("transfer_dtype must be float16, float32, or bfloat16")
 
     # -- Derived properties --------------------------------------------------
 
@@ -145,6 +156,11 @@ class ModelConfig:
             if n_chars <= b:
                 return b
         return self.text_buckets[-1]
+
+    def batch_grid(self) -> tuple[int, ...]:
+        """Padded batch sizes actually dispatched to the device (see module
+        function :func:`batch_grid`)."""
+        return batch_grid(self.max_batch_size)
 
     # -- Validation against a reference audio file ---------------------------
 
@@ -198,3 +214,21 @@ class ModelConfig:
 
 # Backward-compatibility alias, as in the reference (model_config.py:157).
 TTSConfig = ModelConfig
+
+
+def batch_grid(max_batch: int) -> tuple[int, ...]:
+    """Padded batch sizes actually dispatched to the device: powers of two up
+    to ``max_batch`` plus ``max_batch`` itself (never exceeding it). The
+    micro-batcher pads every dispatch up to a grid element and warmup compiles
+    exactly this grid, so no request-time batch shape hits a cold compile."""
+    grid = {g for g in (1 << i for i in range(max_batch.bit_length())) if g <= max_batch}
+    grid.add(max_batch)
+    return tuple(sorted(grid))
+
+
+def pad_batch_size(b: int, max_batch: int) -> int:
+    """Smallest batch-grid element ≥ b (clamps to ``max_batch``)."""
+    for g in batch_grid(max_batch):
+        if b <= g:
+            return g
+    return max_batch

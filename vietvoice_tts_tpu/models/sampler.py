@@ -38,8 +38,13 @@ class SamplerConfig:
 
 
 def sway_time_grid(cfg: SamplerConfig) -> jnp.ndarray:
-    """Monotone [0, 1] grid of nfe_step+1 points, sway-warped."""
-    t = jnp.linspace(0.0, 1.0, cfg.nfe_step + 1, dtype=jnp.float32)
+    """Monotone [0, 1] grid of nfe_step points (nfe_step−1 intervals),
+    sway-warped.
+
+    Matches the reference's NFE semantics: its loop runs
+    ``range(0, nfe_step-1, fuse_nfe)`` — nfe_step−1 velocity evaluations
+    over nfe_step grid points (``core/tts_engine.py:157``)."""
+    t = jnp.linspace(0.0, 1.0, cfg.nfe_step, dtype=jnp.float32)
     s = cfg.sway_sampling_coef
     if s:
         t = t + s * (jnp.cos(jnp.pi / 2.0 * t) - 1.0 + t)

@@ -78,8 +78,12 @@ class TTSEngine:
 
     def warmup(self, batches=None, buckets=None) -> None:
         """Ahead-of-time compile the serving shape grid (call at deploy
-        time; the persistent XLA cache makes it once-per-machine)."""
-        batches = batches or (1, self.config.max_batch_size)
+        time; the persistent XLA cache makes it once-per-machine).
+
+        The default batch grid is exactly the set of padded row counts the
+        micro-batcher dispatches (powers of two capped at max_batch_size),
+        so no request-time batch shape pays a cold compile."""
+        batches = batches or self.config.batch_grid()
         self.engine_core.warmup(batches=batches, buckets=buckets)
 
     # -- Lifecycle -----------------------------------------------------------

@@ -97,6 +97,9 @@ class EngineCore:
             n_mels=config.n_mels,
         )
         self.params = self._place_params(params)
+        # Reference-waveform H2D dtype (config.transfer_dtype): f16 halves
+        # bytes over a slow tunneled host link; f32 for bit-exact conditioning.
+        self.transfer_dtype = jnp.dtype(config.transfer_dtype)
         self._jit_cache: Dict[Tuple[int, int], callable] = {}
         self.timer = StageTimer()
 
@@ -212,7 +215,7 @@ class EngineCore:
         # Numpy args go straight into the jit call: one dispatch moves all
         # five arrays instead of five explicit (latency-bound) transfers.
         args = (
-            np.asarray(wave, np.float16),
+            np.asarray(wave, self.transfer_dtype),
             np.asarray(ref_len, np.int32),
             np.asarray(text_ids, np.int32),
             np.asarray(total_len, np.int32),
@@ -247,7 +250,7 @@ class EngineCore:
         row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
         fn = self.chunk_fn(b, n_frames)
         args = (
-            np.asarray(wave, np.float16),
+            np.asarray(wave, self.transfer_dtype),
             np.asarray(ref_len, np.int32),
             np.asarray(text_ids, np.int32),
             np.asarray(total_len, np.int32),

@@ -15,12 +15,14 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional
 
 import numpy as np
 
+from ..config import pad_batch_size
 from ..runtime.engine_core import EngineCore
 from ..utils.logging import get_logger
 
@@ -100,16 +102,23 @@ class MicroBatcher:
     # -- Dispatcher ----------------------------------------------------------
 
     def _collect(self) -> list[ChunkJob]:
-        """Block for one job, then greedily gather same-bucket co-riders."""
+        """Block for one job, then greedily gather same-bucket co-riders.
+
+        The wait budget is an ABSOLUTE deadline from the first job's arrival:
+        worst-case added latency is max_wait_ms total, not max_wait_ms per
+        co-rider (max_batch × max_wait_ms cumulative)."""
         first = self._queue.get()
         if first is None:
             return []
         batch = [first]
         spill: list[ChunkJob] = []
-        deadline = self.max_wait_s
+        deadline = time.monotonic() + self.max_wait_s
         while len(batch) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
             try:
-                job = self._queue.get(timeout=deadline)
+                job = self._queue.get(timeout=remaining)
             except queue.Empty:
                 break
             if job is None:
@@ -125,11 +134,13 @@ class MicroBatcher:
 
     def _run_batch(self, jobs: list[ChunkJob]) -> None:
         bucket = jobs[0].bucket
-        # Pad the row count to the next power of two so the jit cache holds
-        # at most log2(max_batch)+1 programs per bucket instead of one per
-        # distinct batch size (compiles cost minutes on this host).
+        # Pad the row count up to the batch grid (powers of two capped at
+        # max_batch) so the jit cache holds at most log2(max_batch)+2
+        # programs per bucket instead of one per distinct batch size
+        # (compiles cost minutes on this host), and the dispatched shape
+        # never exceeds the configured cap.
         b = len(jobs)
-        padded = 1 << (b - 1).bit_length()
+        padded = pad_batch_size(b, self.max_batch)
         wave = np.zeros((padded, jobs[0].wave.shape[0]), np.float32)
         ref_len = np.full((padded,), 8, np.int32)
         total_len = np.full((padded,), 16, np.int32)
