@@ -251,3 +251,29 @@ class TestEndToEndNoMocks:
         finally:
             te.reset_engine()
             te._engine_config = old_cfg
+
+
+class TestSyntheticWeightsExposure:
+    """A seeded-random pack must never be served silently: the session marks
+    it, the engine warns, and /api/v1/health exposes it (VERDICT r1 #5)."""
+
+    def test_health_reports_synthetic_after_load(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            # Before the engine loads, the flag is unknown.
+            data = run(client.get("/api/v1/health")).json()
+            if not data["engine_loaded"]:
+                assert data["synthetic_weights"] is None
+            run(client.post("/api/v1/synthesize", json={"text": "một", "speed": 0.9}))
+            data = run(client.get("/api/v1/health")).json()
+            assert data["engine_loaded"] is True
+            assert data["synthetic_weights"] is True
+        finally:
+            te.reset_engine()
+            te._engine_config = old_cfg

@@ -111,3 +111,71 @@ class TestSelectSample:
     def test_cleanup_releases_params(self, mgr):
         mgr.cleanup()
         assert mgr.params is None
+
+
+class TestSyntheticPackGate:
+    def test_materialized_pack_is_marked_synthetic(self, tiny_pack_dir):
+        import json
+        from pathlib import Path
+
+        from tests.conftest import tiny_config
+
+        cfg = tiny_config(model_cache_dir=tiny_pack_dir)
+        meta = json.loads((Path(cfg.model_path) / "model_meta.json").read_text())
+        assert meta["synthetic"] is True
+
+    def test_load_sets_is_synthetic(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.runtime.session import ModelSessionManager
+
+        mgr = ModelSessionManager(tiny_config(model_cache_dir=tiny_pack_dir))
+        mgr.load_models()
+        assert mgr.is_synthetic is True
+
+    def test_refuses_to_materialize_when_gated(self, temp_dir):
+        import pytest
+
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.runtime.session import ModelSessionManager
+
+        cfg = tiny_config(model_cache_dir=temp_dir, allow_synthetic_pack=False)
+        with pytest.raises(RuntimeError, match="synthetic"):
+            ModelSessionManager(cfg).load_models()
+
+    def test_refuses_to_load_synthetic_pack_when_gated(self, tiny_pack_dir):
+        import pytest
+
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.runtime.session import ModelSessionManager
+
+        cfg = tiny_config(
+            model_cache_dir=tiny_pack_dir, allow_synthetic_pack=False
+        )
+        with pytest.raises(RuntimeError, match="synthetic"):
+            ModelSessionManager(cfg).load_models()
+
+    def test_pack_without_markers_counts_as_synthetic(self, tiny_pack_dir):
+        """Packs predating the marker (no 'synthetic', no 'converted_from')
+        must be treated as synthetic — only convert.py writes converted_from."""
+        import json
+        import shutil
+        from pathlib import Path
+
+        from tests.conftest import tiny_config
+
+        src = Path(tiny_config(model_cache_dir=tiny_pack_dir).model_path)
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            cfg = tiny_config(model_cache_dir=td)
+            dst = Path(cfg.model_path)
+            shutil.copytree(src, dst)
+            meta = json.loads((dst / "model_meta.json").read_text())
+            meta.pop("synthetic", None)
+            meta.pop("converted_from", None)
+            (dst / "model_meta.json").write_text(json.dumps(meta))
+            from vietvoice_tts_tpu.runtime.session import ModelSessionManager
+
+            mgr = ModelSessionManager(cfg)
+            mgr.load_models()
+            assert mgr.is_synthetic is True

@@ -74,12 +74,16 @@ async def health() -> HealthResponse:
 
     from . import tts_engine as te
 
+    synthetic = None
+    if te._engine is not None and te._engine._engine is not None:
+        synthetic = te._engine._engine.model_session_manager.is_synthetic
     return HealthResponse(
         status="healthy",
         uptime=int(monotonic() - _server_start_time),
         backend=jax.default_backend(),
         device_count=len(jax.devices()),
         engine_loaded=te._engine is not None,
+        synthetic_weights=synthetic,
     )
 
 

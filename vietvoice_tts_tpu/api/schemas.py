@@ -60,6 +60,14 @@ class HealthResponse(BaseModel):
     engine_loaded: Optional[bool] = Field(
         None, description="Whether the model is resident in memory."
     )
+    synthetic_weights: Optional[bool] = Field(
+        None,
+        description=(
+            "True when the loaded weight pack was materialized from a seed "
+            "(random weights — audio is noise, not speech). None until the "
+            "engine loads."
+        ),
+    )
 
 
 class StatsResponse(BaseModel):

@@ -355,6 +355,12 @@ def convert_reference_tarball(
                 "n_mels": cfg.n_mels, "n_fft": cfg.n_fft,
                 "hop_length": cfg.hop_length, "sample_rate": cfg.sample_rate,
                 "seed": cfg.random_seed, "converted_from": str(tar_path),
+                # Honest marker: a pack is only non-synthetic when every
+                # parameter leaf came from the reference's initializers.
+                "synthetic": bool(
+                    report["weights"].get("skipped")
+                    or report["weights"].get("unresolved")
+                ),
             },
             indent=2,
         )

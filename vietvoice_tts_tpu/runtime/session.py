@@ -81,6 +81,7 @@ class ModelSessionManager:
         self.sample_metadata: list[dict] = []
         self.vocab_path: Optional[str] = None
         self.vocab_size: int = 0
+        self.is_synthetic: bool = False
 
     # -- Pack creation -------------------------------------------------------
 
@@ -142,6 +143,10 @@ class ModelSessionManager:
             "hop_length": cfg.hop_length,
             "sample_rate": cfg.sample_rate,
             "seed": cfg.random_seed,
+            # Seeded-random pack: runs the full pipeline offline but produces
+            # noise, not speech. Surfaced via WARNING log + /api/v1/health so
+            # a deployment can never serve it unknowingly.
+            "synthetic": True,
         }
         (pack / "model_meta.json").write_text(json.dumps(meta, indent=2))
 
@@ -201,8 +206,31 @@ class ModelSessionManager:
 
         pack = Path(self.config.model_path)
         if not (pack / "params.msgpack").exists():
+            if not self.config.allow_synthetic_pack:
+                raise RuntimeError(
+                    f"No weight pack at {pack} and allow_synthetic_pack=False: "
+                    "refusing to materialize random weights. Convert the "
+                    "reference tarball (models/convert.py) or point "
+                    "model_cache_dir at a real pack."
+                )
             self._materialize_pack(pack)
         meta = json.loads((pack / "model_meta.json").read_text())
+        # Packs predating the marker: only convert.py writes converted_from,
+        # so its absence means the pack was materialized from a seed.
+        self.is_synthetic = bool(meta.get("synthetic", "converted_from" not in meta))
+        if self.is_synthetic:
+            if not self.config.allow_synthetic_pack:
+                raise RuntimeError(
+                    f"Weight pack at {pack} is marked synthetic (seeded-random "
+                    "weights) and allow_synthetic_pack=False: refusing to "
+                    "serve noise as speech."
+                )
+            log.warning(
+                "Weight pack %s is SYNTHETIC (seeded-random weights): output "
+                "is noise, not speech. Convert real weights with "
+                "models/convert.py.",
+                pack,
+            )
         self.vocab_size = meta["vocab_size"]
         self.params = load_params(pack / "params.msgpack")
         self.vocab_path = str(pack / "vocab.txt")
