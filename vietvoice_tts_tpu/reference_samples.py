@@ -39,6 +39,13 @@ __all__ = [
 ]
 
 
+# Categorical tag columns, in CSV column order after the filename. Driving
+# parsing/filtering off this tuple keeps the loader and the filter in lockstep
+# with the 4-way voice taxonomy without repeating it per function.
+TAG_FIELDS = ("gender", "group", "area", "emotion")
+CSV_COLUMNS = ("filename", *TAG_FIELDS, "text")
+
+
 @dataclass(slots=True)
 class ReferenceSample:
     """One catalog row: clip file + voice tags + transcript."""
@@ -50,6 +57,18 @@ class ReferenceSample:
     emotion: str
     text: str
 
+    @classmethod
+    def from_row(cls, row: dict) -> "ReferenceSample":
+        """Build from a column-name→raw-string dict; tag columns are folded
+        to lowercase so filtering is case-insensitive."""
+        clean = {k: (row.get(k) or "").strip() for k in CSV_COLUMNS}
+        for tag in TAG_FIELDS:
+            clean[tag] = clean[tag].lower()
+        return cls(**clean)
+
+    def tags(self) -> dict:
+        return {name: getattr(self, name) for name in TAG_FIELDS}
+
     def matches(
         self,
         gender: Optional[str] = None,
@@ -57,11 +76,10 @@ class ReferenceSample:
         area: Optional[str] = None,
         emotion: Optional[str] = None,
     ) -> bool:
-        return (
-            (gender is None or self.gender == gender)
-            and (group is None or self.group == group)
-            and (area is None or self.area == area)
-            and (emotion is None or self.emotion == emotion)
+        wanted = dict(gender=gender, group=group, area=area, emotion=emotion)
+        return all(
+            value is None or getattr(self, name) == value
+            for name, value in wanted.items()
         )
 
 
@@ -85,27 +103,20 @@ def catalog_csv_path() -> Optional[Path]:
 
 def load_reference_samples() -> List[ReferenceSample]:
     """Load the catalog; empty list when no CSV is found (graceful degrade,
-    matching reference reference_samples.py:81-110)."""
+    behavior parity with reference reference_samples.py:81-110).
+
+    The CSV is headerless with columns ``CSV_COLUMNS``; rows missing the
+    transcript column are dropped as malformed."""
     csv_path = catalog_csv_path()
     if csv_path is None:
         return []
-    samples: List[ReferenceSample] = []
     with csv_path.open(newline="", encoding="utf-8") as fh:
-        for row in csv.reader(fh):
-            if len(row) < 6:
-                continue
-            filename, gender, group, area, emotion, text = row[:6]
-            samples.append(
-                ReferenceSample(
-                    filename=filename.strip(),
-                    gender=gender.strip().lower(),
-                    group=group.strip().lower(),
-                    area=area.strip().lower(),
-                    emotion=emotion.strip().lower(),
-                    text=text.strip(),
-                )
-            )
-    return samples
+        reader = csv.DictReader(fh, fieldnames=list(CSV_COLUMNS), restkey="_extra")
+        return [
+            ReferenceSample.from_row(row)
+            for row in reader
+            if row.get("text") is not None  # DictReader leaves short rows None
+        ]
 
 
 def filter_samples(
@@ -116,24 +127,27 @@ def filter_samples(
     area: Optional[str] = None,
     emotion: Optional[str] = None,
 ) -> List[ReferenceSample]:
-    gender = gender and gender.lower()
-    group = group and group.lower()
-    area = area and area.lower()
-    emotion = emotion and emotion.lower()
-    return [s for s in samples if s.matches(gender, group, area, emotion)]
+    """Samples matching every provided tag (case-insensitive)."""
+    wanted = {
+        name: value.lower()
+        for name, value in zip(TAG_FIELDS, (gender, group, area, emotion))
+        if value is not None
+    }
+    return [s for s in samples if s.matches(**wanted)]
 
 
 def get_sample_path(sample: ReferenceSample) -> Path:
-    """Resolve a sample's audio file on disk: organized path under the weight
-    pack's ``audios/`` dir, flat-filename fallback."""
+    """Resolve a sample's audio file on disk: the weight packs' ``audios/``
+    dirs under the cache, then the cache root; organized (relative) path
+    first, flat filename fallback."""
     cache = Path(os.environ.get("VIETVOICE_TPU_CACHE", "models")).expanduser()
-    for base in (cache / "audios", cache):
-        organized = base / sample.filename
-        if organized.exists():
-            return organized
-        flat = base / Path(sample.filename).name
-        if flat.exists():
-            return flat
+    bases = [cache / "audios", cache]
+    if cache.is_dir():
+        bases[1:1] = sorted(p for p in cache.glob("*/audios") if p.is_dir())
+    for base in bases:
+        for candidate in (base / sample.filename, base / Path(sample.filename).name):
+            if candidate.exists():
+                return candidate
     return cache / "audios" / sample.filename
 
 
