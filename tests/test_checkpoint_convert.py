@@ -89,16 +89,11 @@ class TestConvert:
         assert (pack / "vocab.txt").read_text() == "a\nb\nc\n"
         assert (pack / "audios" / "x.wav").exists()
 
-    def test_graph_load_requires_onnx(self, temp_dir):
+    def test_graph_load_without_graphs_is_empty(self, temp_dir):
+        """A tarball with no .onnx members yields no initializers (the
+        reader itself needs no external onnx package)."""
         tar_path = self._make_tarball(temp_dir)
-        try:
-            import onnx  # noqa: F401
-
-            pytest.skip("onnx installed; gate not exercised")
-        except ImportError:
-            pass
-        with pytest.raises(RuntimeError, match="onnx"):
-            load_onnx_initializers(tar_path)
+        assert load_onnx_initializers(tar_path) == {}
 
 
 class TestInitializerMapping:
@@ -193,14 +188,8 @@ class TestInitializerMapping:
         )
 
     def test_convert_reference_tarball_assets_only(self, temp_dir):
-        """Without the onnx package the full conversion still builds a
-        loadable pack from tarball assets + seeded weights."""
-        try:
-            import onnx  # noqa: F401
-
-            pytest.skip("onnx installed; assets-only path not exercised")
-        except ImportError:
-            pass
+        """A tarball without graphs still builds a loadable pack from
+        assets + seeded weights, reported as skipped (and synthetic)."""
         from vietvoice_tts_tpu.models.convert import convert_reference_tarball
         from vietvoice_tts_tpu.runtime.serialization import load_params
 
@@ -225,3 +214,4 @@ class TestInitializerMapping:
         assert params["dit"]["text_embed"]["table"].shape[0] == 5  # 4 chars + filler
         meta = json.loads((pack / "model_meta.json").read_text())
         assert meta["vocab_size"] == 4
+        assert meta["synthetic"] is True  # seeded weights remain → honest marker

@@ -3,26 +3,30 @@
 The reference downloads ``model-bin.pt`` — a tar archive holding three ONNX
 graphs plus assets (``/root/reference/vietvoicetts/core/model.py:65-129``:
 ``preprocess.onnx``, ``transformer.onnx``, ``decode.onnx``, ``vocab.txt``,
-``audio_metadata.json``, ``cleaned_audios/*.wav``). Two conversion layers:
+``audio_metadata.json``, ``cleaned_audios/*.wav``). Conversion layers:
 
-- :func:`extract_assets` — always available: pulls vocab, voice-catalog
-  metadata, and reference clips into the pack directory
-  (``runtime/session.py`` layout).
+- :func:`extract_assets` — pulls vocab, voice-catalog metadata, and
+  reference clips into the pack directory (``runtime/session.py`` layout).
 - :func:`load_onnx_initializers` — reads every graph initializer (weight
-  tensor) by name so a name-map can populate the JAX parameter pytree.
-  Requires the optional ``onnx`` package; raises a clear error otherwise
-  (this image ships without it — the gate is tested).
+  tensor) by name via the dependency-free protobuf reader
+  (:mod:`.onnx_pb`) — no ``onnx`` package needed.
+- :func:`map_initializers_to_params` — fills the JAX parameter pytree by
+  explicit name-map (with per-entry transpose / stacking), consumer-derived
+  orientation (``probe.initializer_orientations`` reads Gemm ``transB`` so
+  square [out,in] weights are transposed by *evidence*, not shape guessing),
+  and shape/stacking heuristics as the fallback.
 """
 
 from __future__ import annotations
 
 import tarfile
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 
 from ..utils.logging import get_logger
+from .probe import initializer_orientations, load_models_from_tarball
 
 log = get_logger("convert")
 
@@ -72,35 +76,39 @@ def load_onnx_initializers(
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Read weight initializers from each ONNX graph in the tarball.
 
-    Returns ``{graph_stem: {tensor_name: ndarray}}``. Raises RuntimeError
-    when the optional ``onnx`` dependency is missing.
+    Returns ``{graph_stem: {tensor_name: ndarray}}`` — empty when the
+    tarball holds no (matching) graphs. Uses the self-contained protobuf
+    reader; no external dependency.
     """
-    try:
-        import onnx
-        from onnx import numpy_helper
-    except ImportError as e:  # pragma: no cover — exercised when absent
-        raise RuntimeError(
-            "Converting ONNX graph weights requires the optional 'onnx' "
-            "package (asset extraction via extract_assets works without it)."
-        ) from e
-
+    wanted = {Path(g).stem for g in graphs}
     out: Dict[str, Dict[str, np.ndarray]] = {}
-    with tarfile.open(tar_path, "r") as tar:
-        for member in tar.getmembers():
-            name = Path(member.name).name
-            if name not in graphs:
-                continue
-            fh = tar.extractfile(member)
-            if fh is None:
-                continue
-            model = onnx.load_from_string(fh.read())
-            out[Path(name).stem] = {
-                init.name: numpy_helper.to_array(init)
-                for init in model.graph.initializer
-            }
-            log.info(
-                "Loaded %d initializers from %s", len(out[Path(name).stem]), name
-            )
+    for stem, model in load_models_from_tarball(tar_path).items():
+        if stem not in wanted:
+            continue
+        out[stem] = {
+            name: t.array
+            for name, t in model.graph.initializers.items()
+            if t.array is not None
+        }
+        log.info("Loaded %d initializers from %s.onnx", len(out[stem]), stem)
+    return out
+
+
+def load_graph_orientations(
+    tar_path: str | Path, graphs: tuple[str, ...] = _GRAPH_NAMES
+) -> Dict[str, str]:
+    """{"<graph_stem>.<init_name>": "transpose"|"as_is"} from graph topology.
+
+    Orientation comes from each weight's consumer (Gemm ``transB``, MatMul
+    operand position) — the only reliable way to orient *square* 2-D weights
+    that shape matching cannot (round-1 advisor finding on convert.py)."""
+    wanted = {Path(g).stem for g in graphs}
+    out: Dict[str, str] = {}
+    for stem, model in load_models_from_tarball(tar_path).items():
+        if stem not in wanted:
+            continue
+        for name, orient in initializer_orientations(model.graph).items():
+            out[f"{stem}.{name}"] = orient
     return out
 
 
@@ -145,27 +153,77 @@ def _layer_index(name: str) -> tuple[str, int] | None:
     return name[: m.start()] + ".#." + name[m.end() :], int(m.group(1))
 
 
+# A name_map value: initializer name, {"name": ..., "transpose": bool}, or a
+# list of either (stacked on axis 0 in list order, for depth-stacked leaves).
+NameSpec = Union[str, Dict[str, Any], List[Union[str, Dict[str, Any]]]]
+
+
+def _spec_entries(spec: NameSpec) -> list[dict]:
+    items = spec if isinstance(spec, (list, tuple)) else [spec]
+    out = []
+    for it in items:
+        if isinstance(it, str):
+            out.append({"name": it, "transpose": None})
+        else:
+            out.append({"name": it["name"], "transpose": it.get("transpose")})
+    return out
+
+
+def _orient(
+    a: np.ndarray,
+    target_shape: tuple,
+    transpose_flag,
+    orientation: Optional[str],
+) -> Optional[tuple[np.ndarray, bool]]:
+    """Orient one initializer toward ``target_shape`` → (array, was_flipped).
+
+    Precedence: explicit transpose flag > consumer-derived orientation >
+    shape inference (exact first, transposed 2-D second). Returns None when
+    no orientation produces the target shape."""
+    if transpose_flag is not None:
+        v = a.T if transpose_flag else a
+        return (v, bool(transpose_flag)) if tuple(v.shape) == target_shape else None
+    fits_as_is = tuple(a.shape) == target_shape
+    fits_flipped = a.ndim == 2 and tuple(a.T.shape) == target_shape
+    if orientation == "transpose" and fits_flipped:
+        return a.T, True
+    if orientation == "as_is" and fits_as_is:
+        return a, False
+    if fits_as_is:
+        return a, False
+    if fits_flipped:
+        return a.T, True
+    return None
+
+
 def map_initializers_to_params(
     inits: Dict[str, np.ndarray],
     template,
-    name_map: Dict[str, str] | None = None,
+    name_map: Dict[str, NameSpec] | None = None,
+    orientations: Dict[str, str] | None = None,
 ) -> tuple[Any, dict]:
     """Fill a parameter pytree from a flat {name: ndarray} initializer dict.
 
     ``template`` provides the target structure and shapes (e.g. from
     ``init_dit_params``). Resolution order per leaf:
 
-    1. explicit ``name_map`` entry (leaf path → initializer name),
-    2. unique exact-shape match among unused initializers,
-    3. unique transposed 2-D match (ONNX/torch Linear weights are
-       [out, in]; ours are [in, out]),
-    4. for depth-stacked leaves [L, ...]: L same-shape (or transposed)
-       initializers whose names differ only by a layer index — stacked in
+    1. explicit ``name_map`` entry — an initializer name, a
+       ``{"name", "transpose"}`` dict, or a list of either (stacked on
+       axis 0) — the escape hatch that can always pin a leaf exactly;
+    2. unique exact-shape match among unused initializers — transposed
+       anyway when the graph's consumer says the weight is [out, in]
+       (``orientations``, from Gemm ``transB``), which is the only correct
+       call for *square* weights;
+    3. unique transposed 2-D match (torch/ONNX Linear stores [out, in];
+       ours is [in, out]);
+    4. depth-stacked leaves [L, ...]: L same-shape (or transposed)
+       initializers whose names differ only by a layer index, stacked in
        index order.
 
     Returns (params, report); ``report['unresolved']`` lists leaves the
     heuristics could not fill (left at template values) so callers can
-    extend the name map instead of silently shipping mixed weights.
+    extend the name map instead of silently shipping mixed weights;
+    ``report['transposed']`` lists every initializer that was flipped.
     """
     import copy
 
@@ -173,9 +231,11 @@ def map_initializers_to_params(
         {k: v for k, v in template.items()} if isinstance(template, dict) else template
     )
     flat = _flatten(params)
+    orientations = orientations or {}
     used: set[str] = set()
     resolved: Dict[str, str] = {}
     unresolved: list[str] = []
+    transposed: list[str] = []
 
     # Pre-bucket initializers by shape, and by (layer-pattern) for stacking.
     by_shape: Dict[tuple, list[str]] = {}
@@ -188,31 +248,64 @@ def map_initializers_to_params(
             pattern, idx = li
             stacks.setdefault((pattern, tuple(a.shape)), {})[idx] = n
 
-    def take(name: str, path: str, value: np.ndarray) -> None:
+    def take(name: str, path: str, value: np.ndarray, flipped: bool) -> None:
         used.add(name)
         resolved[path] = name
+        if flipped:
+            transposed.append(name)
         _set_leaf(params, path, value.astype(np.float32))
 
     for path, leaf in flat.items():
         shape = tuple(np.shape(leaf))
         # 1. explicit map
         if name_map and path in name_map:
-            src = name_map[path]
-            if src not in inits:
-                unresolved.append(path)
-                continue
-            a = inits[src]
-            if tuple(a.shape) == shape:
-                take(src, path, a)
-            elif a.ndim == 2 and tuple(a.T.shape) == shape:
-                take(src, path, a.T)
-            else:
-                unresolved.append(path)
+            entries = _spec_entries(name_map[path])
+            if len(entries) == 1:
+                src, flag = entries[0]["name"], entries[0]["transpose"]
+                a = inits.get(src)
+                hit = (
+                    None if a is None else _orient(a, shape, flag, orientations.get(src))
+                )
+                if hit is None:
+                    unresolved.append(path)
+                else:
+                    take(src, path, hit[0], flipped=hit[1])
+            else:  # stacked spec: axis-0 stack in list order
+                inner = shape[1:]
+                parts: Optional[list] = []
+                for e in entries:
+                    a = inits.get(e["name"])
+                    hit = (
+                        None
+                        if a is None
+                        else _orient(a, inner, e["transpose"], orientations.get(e["name"]))
+                    )
+                    if hit is None:
+                        parts = None
+                        break
+                    parts.append((e["name"], *hit))
+                if parts is None or len(parts) != shape[0]:
+                    unresolved.append(path)
+                else:
+                    stackv = np.stack([p[1] for p in parts]).astype(np.float32)
+                    for n, _v, flip in parts:
+                        used.add(n)
+                        if flip:
+                            transposed.append(n)
+                    resolved[path] = f"[{', '.join(p[0] for p in parts)}]"
+                    _set_leaf(params, path, stackv)
             continue
-        # 2. unique exact-shape match
+        # 2. unique exact-shape match (consumer orientation can still flip a
+        #    square weight — shape alone cannot distinguish [out,in] there).
         cands = [n for n in by_shape.get(shape, []) if n not in used]
         if len(cands) == 1:
-            take(cands[0], path, inits[cands[0]])
+            a = inits[cands[0]]
+            flip = (
+                a.ndim == 2
+                and a.shape[0] == a.shape[1]
+                and orientations.get(cands[0]) == "transpose"
+            )
+            take(cands[0], path, a.T if flip else a, flipped=flip)
             continue
         # 3. unique transposed 2-D match
         if len(shape) == 2:
@@ -220,7 +313,7 @@ def map_initializers_to_params(
                 n for n in by_shape.get((shape[1], shape[0]), []) if n not in used
             ]
             if not cands and len(t_cands) == 1:
-                take(t_cands[0], path, inits[t_cands[0]].T)
+                take(t_cands[0], path, inits[t_cands[0]].T, flipped=True)
                 continue
         # 4. depth-stacked leaf: L per-layer tensors stacked on axis 0
         if len(shape) >= 2:
@@ -232,7 +325,16 @@ def map_initializers_to_params(
                     continue
                 transpose = False
                 if ishape == inner:
-                    pass
+                    # Square per-layer weights: trust consumer orientation.
+                    transpose = (
+                        len(inner) == 2
+                        and inner[0] == inner[1]
+                        and all(
+                            orientations.get(members[i]) == "transpose"
+                            for i in range(depth)
+                        )
+                        and any(members[i] in orientations for i in range(depth))
+                    )
                 elif len(inner) == 2 and ishape == (inner[1], inner[0]):
                     transpose = True
                 else:
@@ -245,6 +347,8 @@ def map_initializers_to_params(
                 stacked = np.stack(arrs).astype(np.float32)
                 for i in range(depth):
                     used.add(members[i])
+                    if transpose:
+                        transposed.append(members[i])
                 resolved[path] = f"{pattern} (stacked {depth})"
                 _set_leaf(params, path, stacked)
                 break
@@ -258,6 +362,7 @@ def map_initializers_to_params(
         "resolved": resolved,
         "unresolved": unresolved,
         "unused_initializers": sorted(set(inits) - used),
+        "transposed": sorted(set(transposed)),
     }
     if unresolved:
         log.warning(
@@ -316,22 +421,24 @@ def convert_reference_tarball(
         "dit": init_dit_params(cfg.random_seed, dit_cfg),
         "vocoder": init_vocoder_params(cfg.random_seed + 1, voc_cfg),
     }
-    try:
-        graphs = load_onnx_initializers(tar_path)
-    except RuntimeError as e:
-        report["weights"] = {"skipped": str(e)}
-        graphs = None
-    if graphs is not None:
+    graphs = load_onnx_initializers(tar_path)
+    if not graphs:
+        report["weights"] = {
+            "skipped": "no ONNX graphs found in tarball — pack keeps seeded weights"
+        }
+    else:
         merged = {
             f"{g}.{n}": a for g, inits in graphs.items() for n, a in inits.items()
         }
+        orientations = load_graph_orientations(tar_path)
         template, weight_report = map_initializers_to_params(
-            merged, template, name_map=name_map
+            merged, template, name_map=name_map, orientations=orientations
         )
         report["weights"] = {
             "resolved": len(weight_report["resolved"]),
             "unresolved": weight_report["unresolved"],
             "unused_initializers": len(weight_report["unused_initializers"]),
+            "transposed": len(weight_report["transposed"]),
         }
 
     from ..runtime.serialization import save_params
@@ -370,9 +477,15 @@ def convert_reference_tarball(
 
 
 if __name__ == "__main__":  # pragma: no cover — thin CLI
+    import json as _json
     import sys
 
-    if len(sys.argv) != 3:
-        print("usage: python -m vietvoice_tts_tpu.models.convert <model-bin.pt> <pack_dir>")
+    if len(sys.argv) not in (3, 4):
+        print(
+            "usage: python -m vietvoice_tts_tpu.models.convert "
+            "<model-bin.pt> <pack_dir> [name_map.json]"
+        )
         raise SystemExit(2)
-    convert_reference_tarball(sys.argv[1], sys.argv[2])
+    nm = _json.loads(Path(sys.argv[3]).read_text()) if len(sys.argv) == 4 else None
+    out = convert_reference_tarball(sys.argv[1], sys.argv[2], name_map=nm)
+    print(_json.dumps(out, indent=2, default=str))
