@@ -1,24 +1,33 @@
 #!/usr/bin/env python
-"""Golden numerics harness: mel/waveform comparison vs the ONNX reference.
+"""Golden numerics harness: mel comparison vs the ONNX reference.
 
 BASELINE.json gates numerics on "mel allclose (atol 1e-2) vs the ONNX
-reference per utterance". That comparison needs two artifacts this image
-cannot provide offline — the reference's model tarball (network download,
-``/root/reference/vietvoicetts/core/model_config.py:26``) and the
-``onnxruntime`` package — so this harness is the *gate*, runnable the moment
-either appears:
+reference per utterance". ORT's RNG is not reproducible from ``jax.random``,
+so the protocol shares the *reference's* noise tensor (SURVEY §7 hard part
+(c); reference loop semantics at
+``/root/reference/vietvoicetts/core/tts_engine.py:148-187``):
 
-    python golden.py --onnx-tarball /path/to/model-bin.pt
+1. **Reference side** (needs ``onnxruntime`` + the model tarball): run the
+   preprocess graph, capture its noise tensor, run the transformer loop to
+   the final mel latent. ``--save-ref out.npz`` stores these arrays so the
+   reference side can run on any machine that has ORT, once.
+2. **TPU side** (this repo, always runnable): convert the tarball into a
+   weight pack (``models/convert.py``), rebuild the conditioning from the
+   same reference audio, and integrate OUR sampler from the SAME noise via
+   ``EngineCore.mel_latent_batch(x0=...)``.
+3. Compare final mel latents over the synthesized (non-reference) region:
+   MAE, max-abs, allclose at ``--atol``.
 
-Protocol (BASELINE config 1: single short sentence, default voice):
-1. run the reference's preprocess graph → capture its noise tensor;
-2. feed the SAME noise into both the reference transformer loop and our
-   sampler (ORT's RNG is not reproducible from JAX, so noise must be shared
-   for a meaningful comparison — SURVEY §7 hard part (c));
-3. compare final mel latents (MAE, max-abs) and decoded waveforms.
+Runnable forms::
 
-Prints one JSON line; status "skipped" (with the reason) when the artifacts
-are absent, so CI can record the gate without network access.
+    python golden.py --onnx-tarball model-bin.pt             # both sides
+    python golden.py --onnx-tarball model-bin.pt --save-ref ref.npz
+    python golden.py --ref-npz ref.npz --pack packs/v1       # TPU side only
+
+Prints ONE JSON line; status "skipped" (with the reason) when the reference
+artifacts are absent, so CI can record the gate without network access. The
+harness itself is proven by ``tests/test_golden.py``, which generates a
+ref-npz from a known oracle and checks the TPU side reports mel_mae ≈ 0.
 """
 
 from __future__ import annotations
@@ -26,88 +35,216 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Reference side (requires onnxruntime; runs the real ONNX graphs)
+# ---------------------------------------------------------------------------
+
+
+def reference_side(tarball: str, text: str) -> dict:
+    """Run the reference graphs → {audio, combined_text, noise, ref_mel,
+    ref_signal_len, nfe_step}. Mirrors ``core/tts_engine.py:133-187``."""
+    import tarfile
+
+    import onnxruntime as ort
+
+    from vietvoice_tts_tpu.models.probe import load_models_from_tarball  # noqa: F401
+    from vietvoice_tts_tpu.pipeline.audio import AudioProcessor
+    from vietvoice_tts_tpu.pipeline.text import TextProcessor
+    from vietvoice_tts_tpu.models.convert import extract_assets
+
+    with tempfile.TemporaryDirectory() as td:
+        assets = extract_assets(tarball, td)
+        if not assets["vocab"]:
+            raise RuntimeError("tarball holds no vocab.txt")
+        tp = TextProcessor(str(Path(td) / "vocab.txt"))
+        meta = json.loads((Path(td) / "audio_metadata.json").read_text())
+        sample = meta[0]
+        ref_audio_path = Path(td) / "audios" / sample["file_name"]
+        ref_text = sample["text"]
+
+        ap = AudioProcessor()
+        ref_int16 = ap.load_audio(str(ref_audio_path), 24000)
+        audio_f32 = ref_int16.astype(np.float32)
+
+        sessions = {}
+        with tarfile.open(tarball) as tar:
+            for member in tar.getmembers():
+                if member.name.endswith(".onnx"):
+                    stem = Path(member.name).stem
+                    sessions[stem] = ort.InferenceSession(
+                        tar.extractfile(member).read()
+                    )
+        pre, trans = sessions["preprocess"], sessions["transformer"]
+
+        combined = tp.clean_text(ref_text) + tp.clean_text(text)
+        # Reference feeds [1, L] int64 char ids (unk→0, text_processor.py:30).
+        text_ids = tp.text_to_indices([list(combined)]).astype(np.int64)
+        # Duration heuristic parity (core/tts_engine.py:54-64, speed 0.9).
+        ref_frames = len(audio_f32) // 256 + 1
+        rate = tp.calculate_text_length(ref_text, ".,?!:") / (len(audio_f32) / 24000.0)
+        tgt_dur = max(tp.calculate_text_length(tp.clean_text(text), ".,?!:") / rate / 0.9, 1.0)
+        max_duration = np.asarray([ref_frames + int(tgt_dur * 24000) // 256 + 1], np.int64)
+
+        pre_inputs = {
+            i.name: v
+            for i, v in zip(
+                pre.get_inputs(),
+                (audio_f32.reshape(1, 1, -1), text_ids, max_duration),
+            )
+        }
+        outs = pre.run(None, pre_inputs)
+        noise, ref_signal_len = outs[0], outs[-1]
+
+        t_names = [i.name for i in trans.get_inputs()]
+        state = list(outs[: len(t_names) - 1]) + [np.asarray([0], np.int32)]
+        nfe_step = 32
+        for _ in range(0, nfe_step - 1):
+            o = trans.run(None, dict(zip(t_names, state)))
+            state[0], state[-1] = o[0], o[1]
+        return {
+            "audio": audio_f32 / 32768.0,
+            "combined_text": combined,
+            "noise": np.asarray(noise, np.float32),
+            "ref_mel": np.asarray(state[0], np.float32),
+            "ref_signal_len": int(np.asarray(ref_signal_len).reshape(-1)[0]),
+            "nfe_step": nfe_step,
+        }
+
+
+# ---------------------------------------------------------------------------
+# TPU side (always runnable)
+# ---------------------------------------------------------------------------
+
+
+def _as_latent_layout(a: np.ndarray, n_mels: int) -> np.ndarray:
+    """Coerce a reference tensor into our [B, N, n_mels] layout."""
+    a = np.asarray(a, np.float32)
+    if a.ndim == 2:
+        a = a[None]
+    if a.shape[-1] != n_mels and a.shape[-2] == n_mels:
+        a = np.swapaxes(a, -1, -2)  # [B, n_mels, N] → [B, N, n_mels]
+    return a
+
+
+def tpu_side(pack_dir, ref: dict, atol: float = 1e-2) -> dict:
+    """Integrate OUR sampler from the reference's noise; compare mels.
+
+    ``ref`` needs: audio (f32 [-1,1]), combined_text, noise, ref_mel,
+    ref_signal_len, nfe_step. Returns the comparison report (one dict)."""
+    from vietvoice_tts_tpu.pipeline.text import TextProcessor
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.serialization import load_params
+    from vietvoice_tts_tpu.runtime.session import config_from_pack
+
+    pack = Path(pack_dir)
+    cfg = config_from_pack(pack, nfe_step=int(ref["nfe_step"]))
+    params = load_params(pack / "params.msgpack")
+    core = EngineCore(cfg, params, cfg.vocab_size)
+
+    noise = _as_latent_layout(ref["noise"], cfg.n_mels)
+    ref_mel = _as_latent_layout(ref["ref_mel"], cfg.n_mels)
+    n_frames = noise.shape[1]
+    hop = cfg.hop_length
+
+    audio = np.asarray(ref["audio"], np.float32).reshape(-1)
+    wave = np.zeros((1, n_frames * hop), np.float32)
+    wave[0, : min(len(audio), n_frames * hop)] = audio[: n_frames * hop]
+
+    tp = TextProcessor(str(pack / "vocab.txt"))
+    ids, _ = tp.encode_padded(str(ref["combined_text"]), n_frames)
+
+    ref_len = int(ref["ref_signal_len"])
+    latent = core.mel_latent_batch(
+        wave,
+        np.asarray([ref_len], np.int32),
+        ids[None],
+        np.asarray([n_frames], np.int32),
+        x0=noise,
+    )
+
+    target = slice(ref_len, n_frames)
+    diff = np.abs(latent[0, target] - ref_mel[0, target])
+    full_diff = np.abs(latent[0] - ref_mel[0])
+    return {
+        "metric": "mel_mae_vs_onnx",
+        "status": "ok",
+        "mel_mae": float(diff.mean()),
+        "mel_max_abs": float(diff.max()),
+        "mel_mae_full": float(full_diff.mean()),
+        "allclose": bool(np.allclose(latent[0, target], ref_mel[0, target], atol=atol)),
+        "atol": atol,
+        "frames": int(n_frames),
+        "ref_frames": ref_len,
+    }
+
+
+def _skip(reason: str) -> int:
+    print(json.dumps({"metric": "mel_mae_vs_onnx", "status": "skipped", "reason": reason}))
+    return 0
 
 
 def main() -> int:
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[1])
     ap.add_argument("--onnx-tarball", default=None, help="reference model-bin.pt")
+    ap.add_argument("--pack", default=None, help="existing converted weight pack")
+    ap.add_argument("--ref-npz", default=None, help="precomputed reference-side npz")
+    ap.add_argument("--save-ref", default=None, help="write reference-side npz here")
+    ap.add_argument("--name-map", default=None, help="JSON name_map for conversion")
     ap.add_argument("--text", default="Xin chào Việt Nam.")
     ap.add_argument("--atol", type=float, default=1e-2)
     args = ap.parse_args()
 
-    try:
-        import onnxruntime  # noqa: F401
-    except ImportError:
-        print(
-            json.dumps(
-                {
-                    "metric": "mel_mae_vs_onnx",
-                    "status": "skipped",
-                    "reason": "onnxruntime not installed in this image",
-                }
+    # -- acquire reference-side arrays ---------------------------------------
+    if args.ref_npz:
+        with np.load(args.ref_npz, allow_pickle=False) as z:
+            ref = {k: z[k] for k in z.files}
+    else:
+        if not args.onnx_tarball:
+            return _skip("no --onnx-tarball and no --ref-npz (tarball needs network)")
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError:
+            return _skip(
+                "onnxruntime not installed — run the reference side elsewhere "
+                "with --save-ref and pass --ref-npz here"
             )
-        )
-        return 0
-    if not args.onnx_tarball:
-        print(
-            json.dumps(
-                {
-                    "metric": "mel_mae_vs_onnx",
-                    "status": "skipped",
-                    "reason": "no --onnx-tarball (requires network download)",
-                }
+        ref = reference_side(args.onnx_tarball, args.text)
+        if args.save_ref:
+            np.savez(
+                args.save_ref,
+                **{k: np.asarray(v) for k, v in ref.items() if k != "combined_text"},
+                combined_text=np.asarray(str(ref["combined_text"])),
             )
+
+    # -- acquire the weight pack ---------------------------------------------
+    if args.pack:
+        pack = Path(args.pack)
+    else:
+        if not args.onnx_tarball:
+            return _skip("no --pack and no --onnx-tarball to convert")
+        from vietvoice_tts_tpu.models.convert import convert_reference_tarball
+
+        pack = Path(tempfile.mkdtemp(prefix="vv_golden_")) / "pack"
+        name_map = (
+            json.loads(Path(args.name_map).read_text()) if args.name_map else None
         )
-        return 0
+        report = convert_reference_tarball(args.onnx_tarball, pack, name_map=name_map)
+        weights = report.get("weights", {})
+        if weights.get("skipped") or weights.get("unresolved"):
+            return _skip(
+                f"conversion incomplete: {weights.get('skipped') or weights['unresolved'][:5]}"
+                " — extend the name map (see docs/CONVERSION_RUNBOOK.md)"
+            )
 
-    import numpy as np
-    import onnxruntime as ort
-
-    from vietvoice_tts_tpu.config import ModelConfig
-    from vietvoice_tts_tpu.pipeline.engine import TTSEngine
-
-    # --- reference side -----------------------------------------------------
-    import tarfile
-
-    sessions = {}
-    with tarfile.open(args.onnx_tarball) as tar:
-        for member in tar.getmembers():
-            if member.name.endswith(".onnx"):
-                sessions[member.name.rsplit("/", 1)[-1][: -len(".onnx")]] = (
-                    ort.InferenceSession(tar.extractfile(member).read())
-                )
-    pre, trans, dec = sessions["preprocess"], sessions["transformer"], sessions["decode"]
-
-    cfg = ModelConfig(onnx_model_path=args.onnx_tarball)
-    engine = TTSEngine(cfg)
-    ref_audio, ref_text = engine.model_session_manager.select_sample()
-    ref_int16 = engine.audio_processor.load_audio(ref_audio, cfg.sample_rate)
-    audio = ref_int16.astype(np.float32).reshape(1, 1, -1)
-
-    combined = engine.text_processor.clean_text(ref_text) + engine.text_processor.clean_text(args.text)
-    text_ids = engine.text_processor.text_to_indices([list(combined)])
-    plan = engine._plan_chunks(ref_int16.astype(np.float32) / 32768.0, ref_text, args.text)[0]
-    max_duration = np.array([plan.total_len], np.int64)
-
-    pre_in = {i.name: v for i, v in zip(pre.get_inputs(), (audio, text_ids, max_duration))}
-    outs = pre.run(None, pre_in)
-    noise = outs[0]
-    ref_signal_len = outs[-1]
-    # transformer loop (reference tts_engine.py:157-174)
-    t_names = [i.name for i in trans.get_inputs()]
-    state = list(outs[:7]) + [np.array([0], np.int32)]
-    for _ in range(cfg.nfe_step - 1):
-        o = trans.run(None, dict(zip(t_names, state)))
-        state[0], state[7] = o[0], o[1]
-    ref_mel = state[0]
-
-    # --- TPU side with the reference's noise --------------------------------
-    # (sampler entry that accepts explicit x0 noise)
-    raise SystemExit(
-        "Reference artifacts located — complete the comparison by mapping the "
-        "preprocess outputs onto EngineCore inputs for this checkpoint "
-        "(tensor layouts must be probed per SURVEY §7(a))."
-    )
+    result = tpu_side(pack, ref, atol=args.atol)
+    print(json.dumps(result))
+    return 0 if result["allclose"] else 1
 
 
 if __name__ == "__main__":

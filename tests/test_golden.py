@@ -1,0 +1,135 @@
+"""Golden-harness self-test: proves the TPU-side comparison machinery works
+before the real reference tarball exists (VERDICT r1 item #1).
+
+The oracle is our own engine: we synthesize a "reference" npz (known noise →
+known mel latent) and check golden.tpu_side reproduces it to zero error, and
+that a perturbed oracle fails the allclose gate."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import golden  # noqa: E402 — repo-root harness module
+
+from tests.conftest import tiny_config  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def pack_and_core(tmp_path_factory):
+    """A tiny materialized pack + EngineCore built from its metadata."""
+    td = tmp_path_factory.mktemp("golden_pack")
+    cfg = tiny_config(model_cache_dir=str(td))
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.session import ModelSessionManager, config_from_pack
+
+    mgr = ModelSessionManager(cfg)
+    mgr.load_models()
+    pack = Path(cfg.model_path)
+    # Rebuild the config the way golden.py will — from pack metadata.
+    cfg2 = config_from_pack(pack, nfe_step=cfg.nfe_step, use_pallas=False)
+    core = EngineCore(cfg2, mgr.params, mgr.vocab_size)
+    return pack, core, cfg2
+
+
+def _oracle_ref(core, cfg, n_frames=128, ref_len=32, seed=0):
+    """Build a reference-side dict whose ref_mel is OUR latent for known x0."""
+    from vietvoice_tts_tpu.pipeline.text import TextProcessor
+
+    rng = np.random.default_rng(seed)
+    hop = cfg.hop_length
+    audio = rng.uniform(-0.3, 0.3, ref_len * hop).astype(np.float32)
+    wave = np.zeros((1, n_frames * hop), np.float32)
+    wave[0, : len(audio)] = audio
+    combined = "xin chào đây là giọng tham khảo. một câu để tổng hợp."
+    tp = TextProcessor(str(Path(cfg.model_path) / "vocab.txt"))
+    ids, _ = tp.encode_padded(combined, n_frames)
+    x0 = rng.standard_normal((1, n_frames, cfg.n_mels)).astype(np.float32)
+    latent = core.mel_latent_batch(
+        wave,
+        np.asarray([ref_len], np.int32),
+        ids[None],
+        np.asarray([n_frames], np.int32),
+        x0=x0,
+    )
+    return {
+        "audio": wave[0],
+        "combined_text": combined,
+        "noise": x0,
+        "ref_mel": latent,
+        "ref_signal_len": ref_len,
+        "nfe_step": cfg.nfe_step,
+    }
+
+
+class TestNoiseInjection:
+    def test_x0_is_deterministic_and_used(self, pack_and_core):
+        _, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        hop = cfg.hop_length
+        n = ref["noise"].shape[1]
+        wave = np.zeros((1, n * hop), np.float32)
+        wave[0, : len(ref["audio"])] = ref["audio"]
+        from vietvoice_tts_tpu.pipeline.text import TextProcessor
+
+        tp = TextProcessor(str(Path(cfg.model_path) / "vocab.txt"))
+        ids, _ = tp.encode_padded(str(ref["combined_text"]), n)
+        args = (
+            wave,
+            np.asarray([ref["ref_signal_len"]], np.int32),
+            ids[None],
+            np.asarray([n], np.int32),
+        )
+        again = core.mel_latent_batch(*args, x0=ref["noise"])
+        np.testing.assert_array_equal(again, ref["ref_mel"])
+        seeded = core.mel_latent_batch(*args)  # internal noise path
+        assert not np.allclose(seeded, ref["ref_mel"], atol=1e-3)
+
+
+class TestGoldenTpuSide:
+    def test_oracle_round_trip_is_zero_error(self, pack_and_core):
+        pack, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        result = golden.tpu_side(pack, ref, atol=1e-2)
+        assert result["status"] == "ok"
+        assert result["allclose"] is True
+        assert result["mel_mae"] < 1e-5, result
+        assert result["frames"] == 128 and result["ref_frames"] == 32
+
+    def test_perturbed_oracle_fails_gate(self, pack_and_core):
+        pack, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        ref = dict(ref, ref_mel=ref["ref_mel"] + 0.05)
+        result = golden.tpu_side(pack, ref, atol=1e-2)
+        assert result["allclose"] is False
+        assert result["mel_mae"] > 1e-2
+
+    def test_channel_first_reference_layout_coerced(self, pack_and_core):
+        """Reference tensors in [B, n_mels, N] layout are auto-transposed."""
+        pack, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        swapped = dict(
+            ref,
+            noise=np.swapaxes(ref["noise"], 1, 2),
+            ref_mel=np.swapaxes(ref["ref_mel"], 1, 2),
+        )
+        result = golden.tpu_side(pack, swapped, atol=1e-2)
+        assert result["allclose"] is True and result["mel_mae"] < 1e-5
+
+    def test_npz_round_trip(self, pack_and_core, tmp_path):
+        """The --save-ref / --ref-npz file format preserves the comparison."""
+        pack, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        npz = tmp_path / "ref.npz"
+        np.savez(
+            npz,
+            **{k: np.asarray(v) for k, v in ref.items() if k != "combined_text"},
+            combined_text=np.asarray(str(ref["combined_text"])),
+        )
+        with np.load(npz, allow_pickle=False) as z:
+            loaded = {k: z[k] for k in z.files}
+        result = golden.tpu_side(pack, loaded, atol=1e-2)
+        assert result["allclose"] is True and result["mel_mae"] < 1e-5

@@ -60,18 +60,27 @@ def flow_matching_sample(
     text_ids: jnp.ndarray,  # [B, N] int32, -1 padded
     mask: jnp.ndarray,  # [B, N] bool
     row_seeds: jnp.ndarray,  # [B] uint32 per-utterance seeds
+    x0: jnp.ndarray | None = None,  # [B, N, n_mels] external initial noise
 ) -> jnp.ndarray:
     """Integrate the learned velocity field from noise to mel latent.
+
+    ``x0`` overrides the per-row seeded noise — the golden-numerics harness
+    feeds the *reference's* preprocess-graph noise here, since ORT's RNG is
+    not reproducible from ``jax.random`` (SURVEY §7 hard part (c); reference
+    noise tensor: ``core/tts_engine.py:228-230`` output 0).
 
     Returns [B, N, n_mels] float32.
     """
     b, n, m = cond.shape
 
-    # Per-row noise: independent of batch composition.
-    row_keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
-        row_seeds.astype(jnp.uint32)
-    )
-    x = jax.vmap(lambda k: jax.random.normal(k, (n, m), jnp.float32))(row_keys)
+    if x0 is not None:
+        x = x0.astype(jnp.float32)
+    else:
+        # Per-row noise: independent of batch composition.
+        row_keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(
+            row_seeds.astype(jnp.uint32)
+        )
+        x = jax.vmap(lambda k: jax.random.normal(k, (n, m), jnp.float32))(row_keys)
 
     # Doubled-batch CFG inputs, fixed across steps.
     cond2 = jnp.concatenate([cond, jnp.zeros_like(cond)], axis=0)

@@ -138,11 +138,29 @@ class EngineCore:
 
     # -- The fused chunk program --------------------------------------------
 
+    def _latent_pipeline(
+        self, params, wave, ref_len, text_ids, total_len, row_seeds, x0, n_frames
+    ):
+        """Shared trace: waveform → mel cond/masks → sampled latent.
+
+        Used by both the full chunk program and the mel-latent program so the
+        golden-numerics harness measures exactly the serving computation.
+        Returns (mel, is_ref, mask, raw_latent)."""
+        mel = self.frontend(wave.astype(jnp.float32))  # [B, N, n_mels]
+        frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
+        is_ref = frame_idx[None, :] < ref_len[:, None]
+        mask = frame_idx[None, :] < total_len[:, None]
+        cond = jnp.where(is_ref[..., None], mel, 0.0)
+        key = jax.random.PRNGKey(self.config.random_seed)
+        latent = flow_matching_sample(
+            params["dit"], self.dit_cfg, self.sampler_cfg, key, cond, text_ids,
+            mask, row_seeds, x0=x0,
+        )
+        return mel, is_ref, mask, latent
+
     def _build_chunk_fn(self, batch: int, n_frames: int):
         """Compile the full chunk pipeline for static (batch, n_frames)."""
-        cfg = self.config
-        dit_cfg, voc_cfg, sampler_cfg = self.dit_cfg, self.voc_cfg, self.sampler_cfg
-        frontend = self.frontend
+        voc_cfg = self.voc_cfg
 
         def chunk_fn(params, wave, ref_len, text_ids, total_len, row_seeds):
             # wave: [B, n_frames*hop] f16; ref_len/total_len: [B] i32;
@@ -150,15 +168,9 @@ class EngineCore:
             # f16 in / packed-int16 out: the TPU here sits behind a tunnel
             # whose host links run at tens of MB/s with high variance, so
             # every transferred byte is worth more than any device op.
-            mel = frontend(wave.astype(jnp.float32))  # [B, N, n_mels]
-            frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
-            is_ref = frame_idx[None, :] < ref_len[:, None]
-            mask = frame_idx[None, :] < total_len[:, None]
-            cond = jnp.where(is_ref[..., None], mel, 0.0)
-            key = jax.random.PRNGKey(cfg.random_seed)
-            latent = flow_matching_sample(
-                params["dit"], dit_cfg, sampler_cfg, key, cond, text_ids, mask,
-                row_seeds,
+            mel, is_ref, mask, latent = self._latent_pipeline(
+                params, wave, ref_len, text_ids, total_len, row_seeds, None,
+                n_frames,
             )
             # Keep the reference prefix at its ground-truth mel for the
             # vocoder's receptive field, zero out padding frames.
@@ -268,6 +280,51 @@ class EngineCore:
             return packed.view(np.int16).reshape(b, -1)
 
         return fetch
+
+    def mel_latent_batch(
+        self,
+        wave: np.ndarray,  # [B, N*hop] float32 in [-1, 1]
+        ref_len: np.ndarray,  # [B] int32 (frames)
+        text_ids: np.ndarray,  # [B, N] int32, -1 padded
+        total_len: np.ndarray,  # [B] int32 (frames, incl. reference)
+        seed: int | np.ndarray = 0,
+        x0: np.ndarray | None = None,  # [B, N, n_mels] external noise
+    ) -> np.ndarray:
+        """Run the pipeline up to the sampled mel latent (no vocoder).
+
+        This is the golden-numerics entry (BASELINE gate: mel allclose
+        atol 1e-2 vs the ONNX reference): ``x0`` injects the reference
+        preprocess graph's noise tensor so both systems integrate the same
+        ODE initial condition. Returns the raw sampler output, [B, N,
+        n_mels] float32, zeroed outside the valid mask (reference-prefix
+        frames are NOT substituted with ground-truth mel here — the
+        comparison wants the model's own output everywhere)."""
+        b = wave.shape[0]
+        n_frames = wave.shape[1] // self.config.hop_length
+        row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
+        key = ("latent", b, n_frames, x0 is not None)
+        if key not in self._jit_cache:
+            with_x0 = x0 is not None
+
+            def latent_fn(params, wave, ref_len, text_ids, total_len, row_seeds, *rest):
+                _mel, _is_ref, mask, latent = self._latent_pipeline(
+                    params, wave, ref_len, text_ids, total_len, row_seeds,
+                    rest[0] if with_x0 else None, n_frames,
+                )
+                return jnp.where(mask[..., None], latent, 0.0)
+
+            self._jit_cache[key] = jax.jit(latent_fn)
+        args = [
+            np.asarray(wave, self.transfer_dtype),
+            np.asarray(ref_len, np.int32),
+            np.asarray(text_ids, np.int32),
+            np.asarray(total_len, np.int32),
+            row_seeds,
+        ]
+        if x0 is not None:
+            args.append(np.asarray(x0, np.float32))
+        with self.timer.stage("mel_latent"):
+            return np.asarray(jax.device_get(self._jit_cache[key](self.params, *args)))
 
     def warmup(self, batches=(1,), buckets=None) -> None:
         """Ahead-of-time compile the configured shape buckets."""

@@ -71,6 +71,40 @@ def _synth_reference_clip(rng: np.ndarray, sample_rate: int, seconds: float = 2.
     return sig.astype(np.float32)
 
 
+def config_from_pack(pack_dir, **overrides) -> ModelConfig:
+    """Build a ModelConfig whose architecture dims match a weight pack's
+    ``model_meta.json`` (so packs converted with non-default dims load
+    through the standard engine path)."""
+    pack = Path(pack_dir)
+    meta = json.loads((pack / "model_meta.json").read_text())
+    fields = dict(
+        model_cache_dir=str(pack.parent),
+        model_name=pack.name,
+        vocab_size=meta.get("vocab_size", 256),
+        n_mels=meta.get("n_mels", 100),
+        n_fft=meta.get("n_fft", 1024),
+        hop_length=meta.get("hop_length", 256),
+        sample_rate=meta.get("sample_rate", 24000),
+    )
+    dit = meta.get("dit", {})
+    for src, dst in (
+        ("dim", "dit_dim"), ("depth", "dit_depth"), ("heads", "dit_heads"),
+        ("ff_mult", "dit_ff_mult"), ("text_dim", "text_dim"),
+        ("text_conv_layers", "text_conv_layers"),
+    ):
+        if src in dit:
+            fields[dst] = dit[src]
+    voc = meta.get("vocoder", {})
+    for src, dst in (
+        ("dim", "vocoder_dim"), ("intermediate_dim", "vocoder_intermediate_dim"),
+        ("num_layers", "vocoder_num_layers"),
+    ):
+        if src in voc:
+            fields[dst] = voc[src]
+    fields.update(overrides)
+    return ModelConfig(**fields)
+
+
 class ModelSessionManager:
     """Loads (or materializes) the weight pack; owns vocab path, voice
     catalog, and reference-sample selection."""
