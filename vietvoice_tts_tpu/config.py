@@ -103,6 +103,11 @@ class ModelConfig:
     # ---- Mesh / parallelism ----
     mesh_data_axis: int = 1  # utterance/chunk batch parallelism
     mesh_model_axis: int = 1  # tensor parallelism for DiT + vocoder
+    # Spend the model axis on the mel-frame (sequence) dimension instead of
+    # tensor parallelism: activations shard [B, N/sp, ...], attention runs
+    # Ulysses/ring over ICI, params replicate over the axis. Pays off when
+    # per-chip activation memory (long buckets) binds before weight memory.
+    sequence_parallel: bool = False
 
     # ---- Weight store (replaces the ONNX tarball download,
     #      reference model_config.py:26-28,71-104) ----

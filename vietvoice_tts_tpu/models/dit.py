@@ -54,6 +54,15 @@ class DiTConfig:
     vocab_size: int = 256
     compute_dtype: Any = jnp.bfloat16
     use_pallas: bool = False
+    # Sequence (context) parallelism: when ``seq_mesh`` is a jax Mesh, the
+    # frame axis of every activation is sharded over ``seq_axis`` and
+    # attention runs via parallel/sequence.sp_attention (Ulysses when heads
+    # divide the axis size, ppermute ring otherwise). ``seq_batch_axis``
+    # optionally composes data parallelism on the batch dim. Params must be
+    # replicated over ``seq_axis`` (the axis is spent on frames, not TP).
+    seq_mesh: Any = None
+    seq_axis: str = "model"
+    seq_batch_axis: Any = None
 
     @property
     def head_dim(self) -> int:
@@ -253,6 +262,20 @@ def dit_forward_embedded(
     p_in = params["input_proj"]
     h = h_in @ p_in["w"].astype(dtype) + p_in["b"].astype(dtype)  # [B, N, dim]
 
+    if cfg.seq_mesh is not None:
+        # Sequence parallelism: pin the residual stream frame-sharded so
+        # every elementwise/matmul op partitions over frames (GSPMD handles
+        # the conv halo exchange); attention is the only op that needs
+        # cross-frame communication and goes through sp_attention below.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        h = jax.lax.with_sharding_constraint(
+            h,
+            NamedSharding(
+                cfg.seq_mesh, PartitionSpec(cfg.seq_batch_axis, cfg.seq_axis, None)
+            ),
+        )
+
     # Convolutional position embedding (depthwise → Mish → pointwise).
     h = (h + _conv_pos_embed(params["conv_pos"], h)) * mask_f.astype(dtype)
 
@@ -271,7 +294,22 @@ def dit_forward_embedded(
 
         u = (_layernorm(h) * (1.0 + sc_a[:, None]) + sh_a[:, None]).astype(dtype)
         qkv = u @ blk["qkv"]["w"].astype(dtype) + blk["qkv"]["b"].astype(dtype)
-        if cfg.use_pallas:
+        if cfg.seq_mesh is not None:
+            from ..parallel.sequence import sp_attention
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            attn = sp_attention(
+                q.reshape(b, n, heads, hd),
+                k.reshape(b, n, heads, hd),
+                v.reshape(b, n, heads, hd),
+                cos.astype(dtype),
+                sin.astype(dtype),
+                mask,
+                mesh=cfg.seq_mesh,
+                axis=cfg.seq_axis,
+                batch_axis=cfg.seq_batch_axis,
+            ).reshape(b, n, heads * hd)
+        elif cfg.use_pallas:
             from ..ops.pallas.fused_rope_attention import fused_qkv_rope_attention
 
             attn = fused_qkv_rope_attention(qkv, cos, sin, mask, heads)

@@ -28,18 +28,43 @@ from ..ops.attention import attention
 from ..ops.rope import apply_rope
 
 
+def sp_attention(
+    q: jnp.ndarray,  # [B, N, H, D] — frame axis GLOBALLY sharded on `axis`
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    mask: jnp.ndarray,
+    mesh: Mesh,
+    axis: str = "model",
+    batch_axis: str | None = None,
+) -> jnp.ndarray:
+    """Sequence-parallel attention, auto-selecting the algorithm:
+
+    Ulysses (two all-to-alls, full-sequence local attention) when the head
+    count divides the axis size — the cheaper pattern; the ppermute ring
+    (online-softmax merge) otherwise. This is the dispatcher
+    ``dit_forward_embedded`` calls when ``DiTConfig.seq_mesh`` is set."""
+    sp = mesh.shape[axis]
+    if q.shape[2] % sp == 0:
+        return ulysses_attention(q, k, v, cos, sin, mask, mesh, axis, batch_axis)
+    return ring_attention(q, k, v, cos, sin, mask, mesh, axis, batch_axis)
+
+
 def ulysses_attention(
     q: jnp.ndarray,  # [B, N, H, D] — frame axis GLOBALLY sharded on `axis`
     k: jnp.ndarray,
     v: jnp.ndarray,
     cos: jnp.ndarray,  # [N, D] rope tables (replicated)
     sin: jnp.ndarray,
-    mask: jnp.ndarray,  # [B, N] bool (replicated)
+    mask: jnp.ndarray,  # [B, N] bool (replicated over `axis`)
     mesh: Mesh,
     axis: str = "model",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Sequence-parallel multi-head RoPE attention → [B, N, H, D] sharded
-    like ``q``. ``H % mesh.shape[axis] == 0`` required."""
+    like ``q``. ``H % mesh.shape[axis] == 0`` required. ``batch_axis``
+    additionally shards the batch dim (data parallelism composes)."""
     sp = mesh.shape[axis]
     h = q.shape[2]
     if h % sp != 0:
@@ -64,11 +89,11 @@ def ulysses_attention(
         o = jnp.moveaxis(o, 1, 2)  # [B, N, H/sp, D]
         return a2a_bwd(o)  # [B, N/sp, H, D]
 
-    spec_x = P(None, axis, None, None)
+    spec_x = P(batch_axis, axis, None, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_x, spec_x, spec_x, P(), P(), P()),
+        in_specs=(spec_x, spec_x, spec_x, P(), P(), P(batch_axis, None)),
         out_specs=spec_x,
     )
     return fn(q, k, v, cos, sin, mask)
@@ -85,9 +110,10 @@ def ring_attention(
     v: jnp.ndarray,
     cos: jnp.ndarray,  # [N, D] rope tables (replicated)
     sin: jnp.ndarray,
-    mask: jnp.ndarray,  # [B, N] bool (replicated)
+    mask: jnp.ndarray,  # [B, N] bool (replicated over `axis`)
     mesh: Mesh,
     axis: str = "model",
+    batch_axis: str | None = None,
 ) -> jnp.ndarray:
     """Ring sequence-parallel attention → [B, N, H, D] sharded like ``q``.
 
@@ -153,11 +179,11 @@ def ring_attention(
         o = o / jnp.maximum(l[..., None], 1e-30)
         return jnp.moveaxis(o.astype(q_l.dtype), 1, 2)  # [B, nl, H, D]
 
-    spec_x = P(None, axis, None, None)
+    spec_x = P(batch_axis, axis, None, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec_x, spec_x, spec_x, P(axis), P(axis), P(None, axis)),
+        in_specs=(spec_x, spec_x, spec_x, P(axis), P(axis), P(batch_axis, axis)),
         out_specs=spec_x,
     )
     return fn(q, k, v, cos, sin, mask)

@@ -74,6 +74,21 @@ class EngineCore:
             compute_dtype=jnp.dtype(config.compute_dtype),
             use_pallas=config.use_pallas and on_tpu,
         )
+        if mesh is not None and config.sequence_parallel:
+            import dataclasses
+
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            # The model axis is spent on frames: attention goes through
+            # sp_attention (shard_map — bypasses the Pallas kernel) and
+            # params replicate over the axis (see _place_params).
+            self.dit_cfg = dataclasses.replace(
+                self.dit_cfg,
+                seq_mesh=mesh,
+                seq_axis=MODEL_AXIS,
+                seq_batch_axis=DATA_AXIS,
+                use_pallas=False,
+            )
         self.voc_cfg = VocoderConfig(
             dim=config.vocoder_dim,
             intermediate_dim=config.vocoder_intermediate_dim,
@@ -129,7 +144,19 @@ class EngineCore:
         return jax.tree_util.tree_map_with_path(cast, params)
 
     def _place_params(self, params):
-        """Put params on device; shard over the mesh when one is active."""
+        """Put params on device; shard over the mesh when one is active.
+
+        Under sequence parallelism the model axis carries frames, not
+        tensor shards — params replicate over the whole mesh instead of the
+        Megatron TP layout (the two are mutually exclusive per axis)."""
+        if self.mesh is not None and self.config.sequence_parallel:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(self.mesh, PartitionSpec())
+            return jax.tree.map(
+                lambda x: jax.device_put(x, repl),
+                self._inference_dtype_policy(params),
+            )
         if self.mesh is not None:
             from ..parallel.sharding import shard_params
 
