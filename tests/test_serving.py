@@ -249,3 +249,147 @@ class TestMultiHostLoop:
         loop = MultiHostServingLoop(core)
         with pytest.raises(RuntimeError):
             loop.submit(_make_job(core, 128))
+
+
+class _FakeDCN:
+    """One-to-all broadcast fake: host 0 publishes, workers consume in order.
+    Records every payload so tests can assert the wire format."""
+
+    def __init__(self, n_workers=1):
+        import queue as _q
+
+        self.queues = [_q.Queue() for _ in range(n_workers)]
+        self.sent = []
+
+    def coordinator_fn(self):
+        def fn(x):
+            self.sent.append(x)
+            for q in self.queues:
+                q.put(x)
+            return x
+
+        return fn
+
+    def worker_fn(self, i):
+        def fn(_local):
+            return self.queues[i].get(timeout=5)
+
+        return fn
+
+
+class TestMultiHostBroadcast:
+    """The n_hosts>1 branch of MultiHostServingLoop._broadcast, exercised
+    in-process via injected process index/count and a fake DCN (VERDICT r1
+    #4). Also pins the compact wire format (f16 ref-prefix wave, i16 ids)."""
+
+    def test_worker_runs_coordinator_batches(self, core):
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop
+
+        dcn = _FakeDCN(n_workers=1)
+        stub_c = _StubCore(core.config)
+        stub_w = _StubCore(core.config)
+        coord = MultiHostServingLoop(
+            stub_c, max_batch=2, max_wait_ms=20,
+            process_index=0, process_count=2,
+            broadcast_fn=dcn.coordinator_fn(),
+        )
+        worker = MultiHostServingLoop(
+            stub_w, max_batch=2, max_wait_ms=20,
+            process_index=1, process_count=2,
+            broadcast_fn=dcn.worker_fn(0),
+        )
+        assert not worker.is_coordinator
+        with pytest.raises(RuntimeError):
+            worker.submit(_make_job(core, 128))
+
+        coord.start()
+        worker.start()
+        try:
+            futures = [coord.submit(_make_job(core, 128, seed=i)) for i in range(2)]
+            outs = [f.result(timeout=30) for f in futures]
+            assert all(o.shape == (128 * core.config.hop_length,) for o in outs)
+        finally:
+            coord.stop()
+            worker.stop()
+        # The worker entered the same program shape at least once.
+        assert stub_w.dispatched_rows, "worker never dispatched"
+        assert stub_w.dispatched_rows[0] == stub_c.dispatched_rows[0] == 2
+
+    def test_compact_wire_format_and_reconstruction(self, core):
+        """Payload wave is the f16 reference prefix only; ids are int16; all
+        hosts rebuild bit-identical batches."""
+        import numpy as np
+
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop, _Batch
+
+        dcn = _FakeDCN(n_workers=1)
+        stub = _StubCore(core.config)
+        coord = MultiHostServingLoop(
+            stub, max_batch=2, process_index=0, process_count=2,
+            broadcast_fn=dcn.coordinator_fn(),
+        )
+        worker = MultiHostServingLoop(
+            _StubCore(core.config), max_batch=2, process_index=1, process_count=2,
+            broadcast_fn=dcn.worker_fn(0),
+        )
+        hop = core.config.hop_length
+        bucket, ref_len = 128, 16
+        job = _make_job(core, bucket, seed=3)
+        wave = np.zeros((2, bucket * hop), np.float32)
+        wave[0] = job.wave
+        wave[0, ref_len * hop:] = 0.0  # ref prefix only, like engine._chunk_row
+        batch = _Batch(
+            bucket=bucket, wave=wave,
+            ref_len=np.array([ref_len, 8], np.int32),
+            total_len=np.array([100, 16], np.int32),
+            text_ids=np.stack([job.text_ids, np.full(bucket, -1, np.int32)]),
+            seeds=np.array([3, 0], np.uint32),
+            n_real=1,
+        )
+        got_c = coord._broadcast(batch)
+        got_w = worker._broadcast(None)
+
+        meta, payload = dcn.sent
+        assert list(meta) == [bucket, 1, ref_len]
+        assert payload[0].dtype == np.float16
+        assert payload[0].shape == (2, ref_len * hop)  # prefix, not bucket
+        assert payload[3].dtype == np.int16
+
+        for a, b in zip(
+            (got_c.wave, got_c.ref_len, got_c.total_len, got_c.text_ids, got_c.seeds),
+            (got_w.wave, got_w.ref_len, got_w.total_len, got_w.text_ids, got_w.seeds),
+        ):
+            np.testing.assert_array_equal(a, b)
+        # f16 round trip of the prefix, exact zeros elsewhere.
+        np.testing.assert_array_equal(
+            got_c.wave[0, : ref_len * hop],
+            wave[0, : ref_len * hop].astype(np.float16).astype(np.float32),
+        )
+        assert not got_c.wave[:, ref_len * hop :].any()
+        np.testing.assert_array_equal(got_c.text_ids, batch.text_ids)
+
+    def test_heartbeat_broadcast_when_idle(self, core):
+        """With no jobs, the coordinator still broadcasts (n_real=0) so the
+        lockstep mesh never deadlocks."""
+        from vietvoice_tts_tpu.serving.multihost import MultiHostServingLoop
+
+        dcn = _FakeDCN(n_workers=1)
+        coord = MultiHostServingLoop(
+            _StubCore(core.config), max_batch=2, max_wait_ms=5,
+            process_index=0, process_count=2,
+            broadcast_fn=dcn.coordinator_fn(),
+        )
+        worker = MultiHostServingLoop(
+            _StubCore(core.config), max_batch=2, max_wait_ms=5,
+            process_index=1, process_count=2,
+            broadcast_fn=dcn.worker_fn(0),
+        )
+        coord.start()
+        worker.start()
+        import time as _t
+
+        _t.sleep(0.2)
+        coord.stop()
+        worker.stop()
+        metas = dcn.sent[::2]
+        assert metas and all(int(m[1]) == 0 for m in metas)  # heartbeats
