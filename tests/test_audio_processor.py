@@ -130,3 +130,57 @@ class TestCrossfade:
         waves = [np.ones(10, np.int16), np.ones(10, np.int16)]
         out = AudioProcessor.concatenate_with_crossfade_improved(waves, 1.0, 24000)
         assert len(out) == 10  # full overlap
+
+
+class TestContainerDecode:
+    """Non-WAV container decode via the ffmpeg fallback (reference decodes
+    m4a through pydub→ffmpeg, audio_processor.py:16-27, examples/sample.m4a).
+    Skipped when the ffmpeg binary is absent (this CI image ships none)."""
+
+    @staticmethod
+    def _encode(tmpdir, fmt):
+        import shutil
+        import subprocess
+
+        import numpy as np
+
+        from vietvoice_tts_tpu.utils.wavio import write_wav
+
+        if shutil.which("ffmpeg") is None:
+            pytest.skip("ffmpeg binary not available")
+        sr = 24000
+        t = np.arange(sr) / sr
+        tone = (0.5 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        src = f"{tmpdir}/tone.wav"
+        dst = f"{tmpdir}/tone.{fmt}"
+        write_wav(tone, src, sr)
+        subprocess.run(
+            ["ffmpeg", "-v", "error", "-y", "-i", src, dst], check=True
+        )
+        return dst, tone, sr
+
+    @pytest.mark.parametrize("fmt", ["m4a", "ogg"])
+    def test_decode_roundtrip(self, temp_dir, fmt):
+        import numpy as np
+
+        from vietvoice_tts_tpu.pipeline.audio import AudioProcessor
+
+        path, tone, sr = self._encode(temp_dir, fmt)
+        out = AudioProcessor.load_audio(path, sr)
+        assert out.dtype == np.int16
+        # Lossy codec: sample counts may differ by a priming frame; compare
+        # duration and energy, not samples.
+        assert abs(len(out) - len(tone)) < sr // 10
+        assert np.abs(out).max() > 20000  # normalized to ~90% full scale
+
+    def test_missing_ffmpeg_raises_clear_error(self, temp_dir, monkeypatch):
+        import shutil as _shutil
+
+        from vietvoice_tts_tpu.utils import wavio
+
+        monkeypatch.setattr(wavio.shutil, "which", lambda _: None)
+        bogus = f"{temp_dir}/x.m4a"
+        with open(bogus, "wb") as fh:
+            fh.write(b"\x00\x00\x00 ftypM4A ....")
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            wavio.read_wav(bogus)

@@ -215,3 +215,28 @@ class TestInitializerMapping:
         meta = json.loads((pack / "model_meta.json").read_text())
         assert meta["vocab_size"] == 4
         assert meta["synthetic"] is True  # seeded weights remain → honest marker
+
+
+class TestRealTarballShape:
+    """extract_assets against the reference tarball's real layout: nested
+    cleaned_audios/ paths, possibly under a top-level directory
+    (core/model.py:206-210 reads members by exact nested name)."""
+
+    def test_nested_paths_flatten(self, temp_dir):
+        root = Path(temp_dir)
+        deep = root / "pkg" / "cleaned_audios" / "female" / "north"
+        deep.mkdir(parents=True)
+        (root / "pkg").joinpath("vocab.txt").write_text("a\nb\n")
+        (root / "pkg").joinpath("audio_metadata.json").write_text("[]")
+        for i in range(3):
+            (deep / f"clip_{i}.wav").write_bytes(b"RIFF" + bytes([i]))
+        tar_path = root / "model-bin.pt"
+        with tarfile.open(tar_path, "w") as tar:
+            tar.add(root / "pkg", arcname="pkg")
+
+        pack = root / "pack"
+        found = extract_assets(tar_path, pack)
+        assert found == {"vocab": True, "metadata": True, "audios": 3}
+        assert sorted(p.name for p in (pack / "audios").iterdir()) == [
+            "clip_0.wav", "clip_1.wav", "clip_2.wav",
+        ]
