@@ -277,3 +277,40 @@ class TestSyntheticWeightsExposure:
         finally:
             te.reset_engine()
             te._engine_config = old_cfg
+
+
+class TestStreamingRoute:
+    """POST /api/v1/synthesize/stream: streaming-WAV header + PCM pieces
+    whose concatenation equals the engine's batch output."""
+
+    def test_stream_route_end_to_end(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            resp = run(
+                client.post(
+                    "/api/v1/synthesize/stream",
+                    json={"text": "xin chào thế giới", "speed": 0.9},
+                )
+            )
+            assert resp.status_code in (200, 201)
+            body = resp.content
+            assert body[:4] == b"RIFF"
+            # Open-ended sizes mark a streamed WAV.
+            assert body[4:8] == b"\xff\xff\xff\xff"
+            assert body[40:44] == b"\xff\xff\xff\xff"
+            pcm = np.frombuffer(body[44:], dtype="<i2")
+            wave, _ = te._engine.synthesize("xin chào thế giới", speed=0.9)
+            np.testing.assert_array_equal(pcm, wave)
+        finally:
+            te.reset_engine()
+            te._engine_config = old_cfg
+
+    def test_stream_route_validation(self, client):
+        resp = run(client.post("/api/v1/synthesize/stream", json={"text": ""}))
+        assert resp.status_code == 422

@@ -302,3 +302,66 @@ class TestBatchGridHelpers:
         assert pad_batch_size(3, 8) == 4
         assert pad_batch_size(5, 6) == 6
         assert pad_batch_size(7, 6) == 6  # clamps, never exceeds max
+
+
+class TestStreamingSynthesis:
+    """Chunk-by-chunk streaming (beyond-reference): concatenated stream
+    output must equal the batch synthesize() waveform."""
+
+    LONG = " ".join(f"Câu số {i} trong đoạn văn dài." for i in range(60))
+
+    def test_stream_equals_batch_multichunk(self, tiny_engine):
+        batch_wave, _ = tiny_engine.synthesize(self.LONG)
+        pieces = list(tiny_engine.synthesize_streaming(self.LONG))
+        assert len(pieces) >= 2  # actually streamed in multiple pieces
+        np.testing.assert_array_equal(np.concatenate(pieces), batch_wave)
+
+    def test_stream_single_chunk(self, tiny_engine):
+        batch_wave, _ = tiny_engine.synthesize("Một câu ngắn.")
+        pieces = list(tiny_engine.synthesize_streaming("Một câu ngắn."))
+        np.testing.assert_array_equal(np.concatenate(pieces), batch_wave)
+
+    def test_stream_through_batcher(self, tiny_engine):
+        batch_wave, _ = tiny_engine.synthesize(self.LONG)
+        tiny_engine.enable_micro_batching(max_wait_ms=5)
+        try:
+            pieces = list(tiny_engine.synthesize_streaming(self.LONG))
+            np.testing.assert_array_equal(np.concatenate(pieces), batch_wave)
+        finally:
+            tiny_engine.batcher.shutdown()
+            tiny_engine.batcher = None
+
+    def test_client_passthrough(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.client import TTSApi
+
+        with TTSApi(tiny_config(model_cache_dir=tiny_pack_dir)) as api:
+            pieces = list(api.synthesize_streaming("Xin chào."))
+            assert pieces and all(p.dtype == np.int16 for p in pieces)
+
+
+class TestStreamCrossfadeMath:
+    def test_matches_batch_concatenation(self):
+        from vietvoice_tts_tpu.pipeline.audio import AudioProcessor
+
+        rng = np.random.default_rng(0)
+        chunks = [
+            (rng.uniform(-0.6, 0.6, n) * 32767).astype(np.int16)
+            for n in (24000, 30000, 26000)
+        ]
+        batch = AudioProcessor.concatenate_with_crossfade_improved(
+            [c.copy() for c in chunks], 0.1, 24000
+        )
+        stream = np.concatenate(
+            list(AudioProcessor.stream_with_crossfade(iter(chunks), 0.1, 24000))
+        )
+        np.testing.assert_array_equal(stream, batch)
+
+    def test_zero_fade_is_plain_concat(self):
+        from vietvoice_tts_tpu.pipeline.audio import AudioProcessor
+
+        chunks = [np.full(100, i * 1000, np.int16) for i in range(3)]
+        out = np.concatenate(
+            list(AudioProcessor.stream_with_crossfade(iter(chunks), 0.0, 24000))
+        )
+        np.testing.assert_array_equal(out, np.concatenate(chunks))

@@ -134,6 +134,29 @@ async def synthesize_stream(data: SynthesizeRequest) -> Stream:
     )
 
 
+@app.post("/api/v1/synthesize/stream")
+async def synthesize_stream_chunks(data: SynthesizeRequest) -> Stream:
+    """Stream audio chunk-by-chunk as synthesis progresses (beyond-reference
+    route): a streaming-WAV header followed by PCM pieces, so long texts
+    start playing after the FIRST chunk's latency instead of the whole
+    utterance's. Chunked transfer; total PCM equals /synthesize's payload."""
+    from .tts_engine import synthesize_stream_async
+
+    return Stream(
+        content=synthesize_stream_async(
+            text=data.text,
+            speed=data.speed,
+            gender=data.gender,
+            group=data.group,
+            area=data.area,
+            emotion=data.emotion,
+            sample_iteration=data.sample_iteration,
+        ),
+        media_type="audio/wav",
+        headers={"Content-Disposition": 'inline; filename="speech.wav"'},
+    )
+
+
 @app.post("/api/v1/synthesize/file")
 async def synthesize_to_file(data: SynthesizeRequest) -> SynthesizeFileResponse:
     """Synthesize to a temp file and return a download URL + metadata."""

@@ -208,8 +208,27 @@ class App:
             {"type": "http.response.start", "status": resp.status_code, "headers": headers}
         )
         if isinstance(resp, Stream):
-            for chunk in resp.chunks:
-                await send({"type": "http.response.body", "body": chunk, "more_body": True})
+            if hasattr(resp.chunks, "__aiter__"):
+                # Async generator: chunks arrive as upstream work completes
+                # (true streaming — the event loop stays free in between).
+                async for chunk in resp.chunks:
+                    await send(
+                        {"type": "http.response.body", "body": chunk, "more_body": True}
+                    )
+            else:
+                # Blocking iterator: pull each piece on a worker thread so a
+                # slow producer can't stall the event loop.
+                from anyio import to_thread
+
+                it = iter(resp.chunks)
+                sentinel = object()
+                while True:
+                    chunk = await to_thread.run_sync(next, it, sentinel)
+                    if chunk is sentinel:
+                        break
+                    await send(
+                        {"type": "http.response.body", "body": chunk, "more_body": True}
+                    )
             await send({"type": "http.response.body", "body": b"", "more_body": False})
         else:
             await send({"type": "http.response.body", "body": resp.body})

@@ -86,3 +86,41 @@ async def synthesize_async(
     except Exception as e:  # noqa: BLE001 — handler converts to 500
         log.error("Error during synthesis: %s", e)
         raise
+
+
+async def synthesize_stream_async(
+    text: str,
+    speed: float,
+    gender: Gender | None,
+    group: Group | None,
+    area: Area | None,
+    emotion: Emotion | None,
+    sample_iteration: int | None,
+):
+    """Async byte stream: a streaming-WAV header, then PCM pieces as each
+    chunk finishes on the device. Each blocking ``next()`` on the underlying
+    generator runs on a worker thread, so the event loop serves other
+    requests between pieces (beyond-reference capability)."""
+    from ..utils.wavio import wav_stream_header
+
+    engine = get_tts_engine()
+    gen = engine.synthesize_streaming(
+        text,
+        gender=gender.value if gender else _engine_config.gender,
+        group=group.value if group else _engine_config.group,
+        area=area.value if area else _engine_config.area,
+        emotion=emotion.value if emotion else _engine_config.emotion,
+        sample_iteration=sample_iteration,
+        speed=speed,
+    )
+    yield wav_stream_header(engine.config.sample_rate)
+    sentinel = object()
+    while True:
+        try:
+            piece = await to_thread.run_sync(next, gen, sentinel)
+        except Exception as e:  # noqa: BLE001 — mid-stream failure
+            log.error("Error during streaming synthesis: %s", e)
+            raise
+        if piece is sentinel:
+            break
+        yield piece.astype("<i2").tobytes()

@@ -74,6 +74,37 @@ class TTSApi:
             speed=speed,
         )
 
+    def synthesize_streaming(
+        self,
+        text: str,
+        gender: Optional[str] = None,
+        group: Optional[str] = None,
+        area: Optional[str] = None,
+        emotion: Optional[str] = None,
+        sample_iteration: Optional[int] = None,
+        reference_audio: Optional[str] = None,
+        reference_text: Optional[str] = None,
+        speed: Optional[float] = None,
+    ):
+        """Stream synthesis: yields int16 waveform pieces as chunks finish.
+
+        Concatenating the pieces equals ``synthesize()``'s waveform; the
+        first piece arrives after one chunk's latency (beyond-reference
+        capability — see ``TTSEngine.synthesize_streaming``)."""
+        if text is None:
+            raise ValueError("Text cannot be None")
+        return self.engine.synthesize_streaming(
+            text=text,
+            gender=gender,
+            group=group,
+            area=area,
+            emotion=emotion,
+            sample_iteration=sample_iteration,
+            reference_audio=reference_audio,
+            reference_text=reference_text,
+            speed=speed,
+        )
+
     def synthesize_to_file(
         self,
         text: str,

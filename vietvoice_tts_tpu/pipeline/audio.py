@@ -151,3 +151,58 @@ class AudioProcessor:
             overlap = (prev_overlap * fade_out + next_overlap * fade_in).astype(np.int16)
             final = np.concatenate([final[:-n], overlap, nxt[n:]])
         return final
+
+    @staticmethod
+    def stream_with_crossfade(
+        chunks,
+        cross_fade_duration: float,
+        sample_rate: int,
+    ):
+        """Incremental equal-power cross-fade: same math (and bit-identical
+        output for chunks longer than 2× the fade window, i.e. any real
+        chunk — min_target_duration is 1 s vs a 0.1 s fade) as
+        ``concatenate_with_crossfade_improved``, but yields audio as each
+        chunk arrives instead of waiting for all of them. Each emitted piece
+        is final: the held-back region is only the fade window.
+
+        ``chunks`` is any iterable of int16 arrays (typically a generator
+        pulling completed device batches). Yields int16 arrays.
+        """
+        n_fade = int(cross_fade_duration * sample_rate)
+        native = _native_dsp()
+        tail: np.ndarray | None = None
+        for raw in chunks:
+            w = AudioProcessor.fix_clipped_audio(np.asarray(raw).reshape(-1))
+            if tail is None:
+                tail = w
+                continue
+            n = min(n_fade, len(tail), len(w))
+            if n <= 0:
+                yield tail
+                tail = w
+                continue
+            if native is not None:
+                # Pairwise native join keeps the stream bit-identical to the
+                # batch path (which uses the same C++ kernel): emit
+                # tail[:-n] + overlap, hold back the (RMS-scaled) remainder.
+                joined = native.crossfade_concat([tail, w], cross_fade_duration, sample_rate)
+                # tail[:-n] + n overlap samples == len(tail) samples are final.
+                yield joined[: len(tail)]
+                tail = joined[len(tail) :]
+                continue
+            prev_overlap = tail[-n:].astype(np.float32)
+            next_overlap = w[:n].astype(np.float32)
+            prev_rms = np.sqrt(np.mean(prev_overlap**2))
+            next_rms = np.sqrt(np.mean(next_overlap**2))
+            if prev_rms > 100 and next_rms > 100:
+                ratio = float(np.clip(prev_rms / next_rms, 0.7, 1.5))
+                w = (w.astype(np.float32) * ratio).astype(np.int16)
+                next_overlap = w[:n].astype(np.float32)
+            theta = np.linspace(0.0, np.pi / 2, n)
+            overlap = (
+                prev_overlap * np.cos(theta) ** 2 + next_overlap * np.sin(theta) ** 2
+            ).astype(np.int16)
+            yield np.concatenate([tail[:-n], overlap])
+            tail = w[n:]
+        if tail is not None:
+            yield tail

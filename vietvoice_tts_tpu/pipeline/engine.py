@@ -310,6 +310,80 @@ class TTSEngine:
 
         return [results[i] for i in sorted(results)]
 
+    def _iter_chunk_waves(self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray):
+        """Yield each chunk's trimmed int16 wave IN ORDER, as it completes.
+
+        Batcher mode submits everything up front (the batcher pipelines);
+        direct mode keeps ≤2 single-row dispatches in flight so chunk k+1
+        computes on-device while chunk k streams to the caller."""
+        if self.batcher is not None:
+            from ..serving.batcher import ChunkJob
+
+            futures = []
+            for p in plans:
+                wave, ids = self._chunk_row(p, ref_audio_f32)
+                job = ChunkJob(
+                    bucket=p.bucket, wave=wave, ref_len=p.ref_len,
+                    total_len=p.total_len, text_ids=ids, seed=p.index,
+                )
+                futures.append((p, self.batcher.submit(job)))
+            for p, f in futures:
+                yield self._slice_output(p, f.result())
+            return
+
+        from collections import deque
+
+        inflight: deque = deque()
+        for p in plans:
+            wave, ids = self._chunk_row(p, ref_audio_f32)
+            fetch = self.engine_core.synthesize_batch_async(
+                wave[None],
+                np.asarray([p.ref_len], np.int32),
+                ids[None],
+                np.asarray([p.total_len], np.int32),
+                seed=np.asarray([p.index], np.uint32),
+            )
+            inflight.append((p, fetch))
+            if len(inflight) > 2:
+                p0, f0 = inflight.popleft()
+                yield self._slice_output(p0, f0()[0])
+        while inflight:
+            p0, f0 = inflight.popleft()
+            yield self._slice_output(p0, f0()[0])
+
+    def synthesize_streaming(
+        self,
+        text: str,
+        gender: Optional[str] = None,
+        group: Optional[str] = None,
+        area: Optional[str] = None,
+        emotion: Optional[str] = None,
+        sample_iteration: Optional[int] = None,
+        reference_audio: Optional[str] = None,
+        reference_text: Optional[str] = None,
+        speed: Optional[float] = None,
+    ):
+        """Stream synthesis: yields int16 waveform pieces as chunks complete.
+
+        Concatenating every yielded piece equals ``synthesize()``'s output
+        (same planning, same per-chunk seeds, same RMS-matched equal-power
+        cross-fade applied incrementally) — but the first piece arrives after
+        ONE chunk's latency instead of the whole utterance's. A capability
+        the reference does not have (its loop materializes all chunks before
+        concatenation, ``core/tts_engine.py:225-244``).
+        """
+        ref_audio, ref_text = self.model_session_manager.select_sample(
+            gender, group, area, emotion, sample_iteration, reference_audio, reference_text
+        )
+        ref_int16 = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
+        ref_f32 = ref_int16.astype(np.float32) / 32768.0
+        plans = self._plan_chunks(ref_f32, ref_text, text, speed=speed)
+        yield from self.audio_processor.stream_with_crossfade(
+            self._iter_chunk_waves(plans, ref_f32),
+            self.config.cross_fade_duration,
+            self.config.sample_rate,
+        )
+
     # -- Public API (parity with reference :189-257) -------------------------
 
     def synthesize(

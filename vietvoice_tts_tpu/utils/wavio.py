@@ -145,6 +145,29 @@ def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def wav_stream_header(sample_rate: int) -> bytes:
+    """44-byte PCM WAV header for a stream of unknown length.
+
+    RIFF/data sizes are 0xFFFFFFFF — the conventional open-ended marker that
+    players and browsers treat as "read until the connection closes". Append
+    raw little-endian int16 PCM after it (chunked HTTP transfer)."""
+    channels = 1
+    byte_rate = sample_rate * channels * 2
+    buf = io.BytesIO()
+    buf.write(b"RIFF")
+    buf.write(struct.pack("<I", 0xFFFFFFFF))
+    buf.write(b"WAVE")
+    buf.write(b"fmt ")
+    buf.write(
+        struct.pack(
+            "<IHHIIHH", 16, WAVE_FORMAT_PCM, channels, sample_rate, byte_rate, 2, 16
+        )
+    )
+    buf.write(b"data")
+    buf.write(struct.pack("<I", 0xFFFFFFFF))
+    return buf.getvalue()
+
+
 def write_wav(samples: np.ndarray, path: str | Path, sample_rate: int) -> None:
     """Write samples to a 16-bit PCM WAV file, creating parent dirs."""
     if np.asarray(samples).size == 0:
