@@ -279,6 +279,55 @@ class TestSyntheticWeightsExposure:
             te._engine_config = old_cfg
 
 
+@pytest.mark.filterwarnings("ignore::pytest.PytestUnhandledThreadExceptionWarning")
+class TestBatcherHealthExposure:
+    """GET /api/v1/health surfaces micro-batcher liveness and self-heals a
+    dead worker thread (failure detection/recovery — SURVEY §5 gap)."""
+
+    def test_health_degrades_then_self_heals(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            # Load the engine and attach a batcher.
+            run(client.post("/api/v1/synthesize", json={"text": "một", "speed": 0.9}))
+            engine = te._engine._engine
+            batcher = engine.enable_micro_batching(max_wait_ms=5)
+            data = run(client.get("/api/v1/health")).json()
+            assert data["status"] == "healthy"
+            assert data["batcher_healthy"] is True
+
+            # Kill the dispatcher with a non-Exception (loops catch Exception).
+            import time as _time
+
+            batcher._collect = lambda: (_ for _ in ()).throw(SystemExit("boom"))
+            batcher._queue.put(None)  # wake it; _collect bomb fires next loop
+            deadline = _time.monotonic() + 5
+            while batcher._thread.is_alive() and _time.monotonic() < deadline:
+                _time.sleep(0.01)
+            del batcher._collect
+
+            # The probe that finds it dead reports degraded AND restarts it.
+            data = run(client.get("/api/v1/health")).json()
+            assert data["status"] == "degraded"
+            assert data["batcher_healthy"] is False
+            data = run(client.get("/api/v1/health")).json()
+            assert data["status"] == "healthy"
+            assert data["batcher_healthy"] is True
+        finally:
+            if te._engine is not None and te._engine._engine is not None:
+                eng = te._engine._engine
+                if eng.batcher is not None:
+                    eng.batcher.shutdown()
+                    eng.batcher = None
+            te.reset_engine()
+            te._engine_config = old_cfg
+
+
 class TestStreamingRoute:
     """POST /api/v1/synthesize/stream: streaming-WAV header + PCM pieces
     whose concatenation equals the engine's batch output."""

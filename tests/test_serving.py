@@ -207,6 +207,129 @@ class TestBatcherLatencyAndPadding:
             b.shutdown()
 
 
+class _FlakyCore(_StubCore):
+    """Fails the first ``fail_first`` fetches (D2H path), then succeeds."""
+
+    def __init__(self, config, fail_first=1):
+        super().__init__(config)
+        self.fail_first = fail_first
+        self.calls = 0
+
+    def synthesize_batch_async(self, wave, ref_len, text_ids, total_len, seed):
+        self.dispatched_rows.append(wave.shape[0])
+        self.calls += 1
+        if self.calls <= self.fail_first:
+            def bad_fetch():
+                raise RuntimeError("transient transfer error")
+
+            return bad_fetch
+        out = np.zeros((wave.shape[0], wave.shape[1]), np.int16)
+        return lambda: out
+
+
+class _DispatchFailCore(_StubCore):
+    """Always fails at dispatch time (before any fetch exists)."""
+
+    def synthesize_batch_async(self, *a, **k):
+        raise ValueError("bad batch shape")
+
+
+@pytest.mark.filterwarnings("ignore::pytest.PytestUnhandledThreadExceptionWarning")
+class TestFailureRecovery:
+    """Failure detection + recovery (SURVEY §5: the reference has none).
+    Transient batch errors retry on a fresh dispatch; persistent errors fail
+    the future after ``retries``; dead worker threads are observable via
+    ``healthy`` and repairable via ``ensure_running``."""
+
+    def test_transient_fetch_failure_retries_and_succeeds(self, core):
+        flaky = _FlakyCore(core.config, fail_first=1)
+        b = MicroBatcher(flaky, max_batch=2, max_wait_ms=5, retries=1)
+        try:
+            out = b.submit(_make_job(core, 128)).result(timeout=10)
+            assert out.shape == (128 * core.config.hop_length,)
+            assert b.stats.retries == 1
+            assert b.stats.failures == 0
+            assert "transient transfer error" in b.last_error
+            assert b.last_error_ts is not None
+        finally:
+            b.shutdown()
+
+    def test_persistent_dispatch_failure_exhausts_retries(self, core):
+        stub = _DispatchFailCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5, retries=2)
+        try:
+            fut = b.submit(_make_job(core, 128))
+            with pytest.raises(ValueError, match="bad batch shape"):
+                fut.result(timeout=10)
+            assert b.stats.retries == 2  # two re-queues before giving up
+            assert b.stats.failures == 1
+        finally:
+            b.shutdown()
+
+    def test_zero_retries_fails_immediately(self, core):
+        flaky = _FlakyCore(core.config, fail_first=1)
+        b = MicroBatcher(flaky, max_batch=2, max_wait_ms=5, retries=0)
+        try:
+            fut = b.submit(_make_job(core, 128))
+            with pytest.raises(RuntimeError, match="transient"):
+                fut.result(timeout=10)
+            assert b.stats.failures == 1
+        finally:
+            b.shutdown()
+
+    def _kill_dispatcher(self, b):
+        """Simulate a non-Exception thread death (the loops only catch
+        Exception): swap in a _collect that raises SystemExit."""
+        import time as _time
+
+        orig = b._collect
+        def boom():
+            raise SystemExit("injected thread death")
+
+        b._collect = boom
+        # Wake the dispatcher so it hits the bomb.
+        b._queue.put(_make_job(b.core, 128))
+        deadline = _time.monotonic() + 5
+        while b._thread.is_alive() and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        b._collect = orig
+        assert not b._thread.is_alive(), "dispatcher should have died"
+
+    def test_thread_death_detected_and_restarted(self, core):
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        try:
+            assert b.healthy
+            self._kill_dispatcher(b)
+            assert not b.healthy
+            assert b.ensure_running()
+            assert b.healthy
+            # Service is fully restored: new work completes normally.
+            out = b.submit(_make_job(core, 128)).result(timeout=10)
+            assert out.shape == (128 * core.config.hop_length,)
+        finally:
+            b.shutdown()
+
+    def test_ensure_running_noop_when_healthy_or_shutdown(self, core):
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        t0, f0 = b._thread, b._fetcher
+        assert b.ensure_running()
+        assert (b._thread, b._fetcher) == (t0, f0)  # no gratuitous restart
+        b.shutdown()
+        assert not b.ensure_running()
+        assert not b.healthy
+
+    def test_shutdown_fails_pending_futures(self, core):
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        self._kill_dispatcher(b)
+        fut = b.submit(_make_job(core, 128))  # queued, never dispatched
+        b.shutdown()
+        with pytest.raises(RuntimeError, match="shut down"):
+            fut.result(timeout=5)
+
+
 class TestMultiHostLoop:
     """Single-host degradation of the lockstep pod-slice serving loop."""
 

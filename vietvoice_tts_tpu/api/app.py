@@ -75,15 +75,28 @@ async def health() -> HealthResponse:
     from . import tts_engine as te
 
     synthetic = None
+    batcher_healthy = None
+    last_error = None
     if te._engine is not None and te._engine._engine is not None:
-        synthetic = te._engine._engine.model_session_manager.is_synthetic
+        engine = te._engine._engine
+        synthetic = engine.model_session_manager.is_synthetic
+        if engine.batcher is not None:
+            # Self-healing probe: a dead worker thread is restarted right
+            # here, and THIS response reports degraded so monitors see the
+            # incident even though service has already recovered.
+            batcher_healthy = engine.batcher.healthy
+            if not batcher_healthy:
+                engine.batcher.ensure_running()
+            last_error = engine.batcher.last_error
     return HealthResponse(
-        status="healthy",
+        status="healthy" if batcher_healthy in (None, True) else "degraded",
         uptime=int(monotonic() - _server_start_time),
         backend=jax.default_backend(),
         device_count=len(jax.devices()),
         engine_loaded=te._engine is not None,
         synthetic_weights=synthetic,
+        batcher_healthy=batcher_healthy,
+        last_error=last_error,
     )
 
 
@@ -105,6 +118,8 @@ async def stats() -> StatsResponse:
                 "jobs": b.jobs,
                 "padded_rows": b.padded_rows,
                 "mean_batch_size": round(b.mean_batch_size, 2),
+                "retries": b.retries,
+                "failures": b.failures,
             }
     return StatsResponse(
         stage_seconds={k: round(v, 3) for k, v in stage.items()},

@@ -53,12 +53,24 @@ class HealthResponse(BaseModel):
     uptime-only, api/app.py:37-41).
     """
 
-    status: Literal["healthy"]
+    status: Literal["healthy", "degraded"]
     uptime: int = Field(..., description="Uptime of the server in seconds.")
     backend: Optional[str] = Field(None, description="JAX backend (tpu/cpu).")
     device_count: Optional[int] = Field(None, description="Visible devices.")
     engine_loaded: Optional[bool] = Field(
         None, description="Whether the model is resident in memory."
+    )
+    batcher_healthy: Optional[bool] = Field(
+        None,
+        description=(
+            "Micro-batcher worker-thread liveness. A dead thread is "
+            "restarted by the health check itself (self-healing); the check "
+            "that found it dead reports status=degraded. None when the "
+            "batcher is not enabled."
+        ),
+    )
+    last_error: Optional[str] = Field(
+        None, description="Most recent batch-dispatch error, if any."
     )
     synthetic_weights: Optional[bool] = Field(
         None,

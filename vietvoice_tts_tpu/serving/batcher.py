@@ -40,6 +40,7 @@ class ChunkJob:
     text_ids: np.ndarray  # [bucket] int32, -1 padded
     seed: int
     future: Future = field(default_factory=Future)
+    attempts: int = 0  # failed dispatch/fetch attempts so far
 
 
 @dataclass
@@ -47,6 +48,8 @@ class BatcherStats:
     batches: int = 0
     jobs: int = 0
     padded_rows: int = 0
+    retries: int = 0  # jobs re-queued after a transient batch failure
+    failures: int = 0  # jobs that exhausted retries
 
     @property
     def mean_batch_size(self) -> float:
@@ -61,18 +64,29 @@ class MicroBatcher:
         engine_core: EngineCore,
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
+        retries: int = 1,
     ):
         self.core = engine_core
         self.max_batch = max_batch or engine_core.config.max_batch_size
         self.max_wait_s = max_wait_ms / 1000.0
+        self.retries = retries
         self._queue: "queue.Queue[Optional[ChunkJob]]" = queue.Queue()
         self._stats = BatcherStats()
         self._running = True
+        # Failure bookkeeping (surfaced at /api/v1/health): last batch error
+        # and its wall-clock time. A failed batch does NOT fail its jobs
+        # outright — each rides a fresh dispatch up to ``retries`` times
+        # (transient device/transfer errors on a tunneled chip recover).
+        self.last_error: Optional[str] = None
+        self.last_error_ts: Optional[float] = None
         # Two-stage pipeline: the dispatcher thread enqueues async device
         # work; the fetcher thread blocks on (slow, tunneled) D2H transfers.
         # maxsize bounds in-flight batches — dispatch of batch k+2 waits
         # until batch k's result has been fetched (backpressure).
         self._inflight: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=2)
+        self._start_threads()
+
+    def _start_threads(self) -> None:
         self._thread = threading.Thread(target=self._loop, daemon=True, name="vv-batcher")
         self._fetcher = threading.Thread(
             target=self._fetch_loop, daemon=True, name="vv-batcher-fetch"
@@ -92,12 +106,59 @@ class MicroBatcher:
     def stats(self) -> BatcherStats:
         return self._stats
 
+    @property
+    def healthy(self) -> bool:
+        """True when both worker threads are alive (and not shut down).
+
+        The loops catch ``Exception``; a thread can still die on a
+        non-Exception ``BaseException`` (interpreter teardown, injected
+        interrupts). Liveness is therefore observable — load balancers read
+        it through ``GET /api/v1/health`` — and repairable via
+        ``ensure_running``."""
+        return self._running and self._thread.is_alive() and self._fetcher.is_alive()
+
+    def ensure_running(self) -> bool:
+        """Restart any dead worker thread; returns post-repair health.
+
+        Queued and in-flight work survives the restart: jobs live in
+        ``_queue``/``_inflight``, not in thread state. No-op after
+        ``shutdown`` (returns False)."""
+        if not self._running:
+            return False
+        if self._thread.is_alive() and self._fetcher.is_alive():
+            return True
+        log.warning(
+            "Batcher thread death detected (dispatcher=%s fetcher=%s); restarting",
+            self._thread.is_alive(),
+            self._fetcher.is_alive(),
+        )
+        if self._thread.is_alive() or self._fetcher.is_alive():
+            # Partial death: retire the survivor cleanly before restarting
+            # the pair, so two dispatchers never race one queue.
+            was_running = self._running
+            self._running = False
+            self._queue.put(None)
+            self._inflight.put(None)
+            self._thread.join(timeout=5.0)
+            self._fetcher.join(timeout=5.0)
+            self._running = was_running
+        self._start_threads()
+        return self.healthy
+
     def shutdown(self, timeout: float = 10.0) -> None:
         self._running = False
         self._queue.put(None)
         self._thread.join(timeout=timeout)
         self._inflight.put(None)
         self._fetcher.join(timeout=timeout)
+        # Fail (don't hang) futures still queued at shutdown.
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if job is not None and not job.future.done():
+                job.future.set_exception(RuntimeError("MicroBatcher is shut down"))
 
     # -- Dispatcher ----------------------------------------------------------
 
@@ -158,6 +219,29 @@ class MicroBatcher:
         self._inflight.put((fetch, jobs))
         log.debug("dispatched batch: bucket=%d size=%d padded=%d", bucket, b, padded)
 
+    def _fail_or_retry(self, jobs: list[ChunkJob], exc: Exception) -> None:
+        """Batch failed: re-queue each job for a fresh dispatch while it has
+        attempts left; fail its future once retries are exhausted. A batch
+        failure is recorded either way (health observability)."""
+        self.last_error = f"{type(exc).__name__}: {exc}"
+        self.last_error_ts = time.time()
+        for job in jobs:
+            if job.future.done():
+                continue
+            if self._running and job.attempts < self.retries:
+                job.attempts += 1
+                self._stats.retries += 1
+                log.warning(
+                    "Retrying job (attempt %d/%d) after batch error: %s",
+                    job.attempts,
+                    self.retries,
+                    exc,
+                )
+                self._queue.put(job)
+            else:
+                self._stats.failures += 1
+                job.future.set_exception(exc)
+
     def _fetch_loop(self) -> None:
         while True:
             item = self._inflight.get()
@@ -166,10 +250,8 @@ class MicroBatcher:
             fetch, jobs = item
             try:
                 out = fetch()
-            except Exception as e:  # noqa: BLE001 — propagate per-job
-                for job in jobs:
-                    if not job.future.done():
-                        job.future.set_exception(e)
+            except Exception as e:  # noqa: BLE001 — retry, then propagate
+                self._fail_or_retry(jobs, e)
                 continue
             self._stats.batches += 1
             self._stats.jobs += len(jobs)
@@ -185,9 +267,7 @@ class MicroBatcher:
                     continue
                 try:
                     self._run_batch(jobs)
-                except Exception as e:  # noqa: BLE001 — propagate per-job
-                    for job in jobs:
-                        if not job.future.done():
-                            job.future.set_exception(e)
+                except Exception as e:  # noqa: BLE001 — retry, then propagate
+                    self._fail_or_retry(jobs, e)
             except Exception as e:  # pragma: no cover — keep dispatcher alive
                 log.error("Batcher loop error: %s", e)
