@@ -121,7 +121,7 @@ class TestProbe:
     def test_probe_tarball_summary(self, temp_dir):
         tar_path, _ = _fixture_tarball(Path(temp_dir), np.random.default_rng(3))
         report = probe_tarball(tar_path)
-        assert set(report) == {"transformer"}
+        assert set(report) == {"transformer", "architecture"}
         t = report["transformer"]
         assert t["op_histogram"] == {"Gemm": 1, "MatMul": 1, "Conv": 1}
         assert t["convs"][0]["group"] == 16

@@ -249,8 +249,9 @@ class TestFailureRecovery:
             assert out.shape == (128 * core.config.hop_length,)
             assert b.stats.retries == 1
             assert b.stats.failures == 0
-            assert "transient transfer error" in b.last_error
-            assert b.last_error_ts is not None
+            # The eventual success cleared the sticky error (recovery is
+            # visible through stats.retries, not a stale /health string).
+            assert b.last_error is None
         finally:
             b.shutdown()
 
@@ -328,6 +329,110 @@ class TestFailureRecovery:
         b.shutdown()
         with pytest.raises(RuntimeError, match="shut down"):
             fut.result(timeout=5)
+
+    def _kill_fetcher(self, b):
+        """Kill the FETCHER (not the dispatcher) with a non-Exception: a
+        fetch callable that raises SystemExit propagates past the loop's
+        ``except Exception`` and ends the thread."""
+        import time as _time
+
+        def lethal_fetch():
+            raise SystemExit("injected fetcher death")
+
+        b._inflight.put((lethal_fetch, []))
+        deadline = _time.monotonic() + 5
+        while b._fetcher.is_alive() and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        assert not b._fetcher.is_alive(), "fetcher should have died"
+
+    def test_fetcher_death_detected_and_restarted(self, core):
+        """Partial death where the FETCHER is the dead thread: repair must
+        retire the live dispatcher without wedging on _inflight and without
+        leaving a sentinel that kills the replacement fetcher (ADVICE r2)."""
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        try:
+            self._kill_fetcher(b)
+            assert not b.healthy
+            assert b._thread.is_alive()  # dispatcher survived
+            assert b.ensure_running()
+            assert b.healthy
+            # The restarted pair must actually serve: a stale sentinel left
+            # in _inflight would make the new fetcher exit before this job's
+            # result ever came back.
+            out = b.submit(_make_job(core, 128)).result(timeout=10)
+            assert out.shape == (128 * core.config.hop_length,)
+            assert b.healthy
+        finally:
+            b.shutdown()
+
+    def test_submit_accepted_while_degraded_and_served_after_repair(self, core):
+        """_running never flips during repair, so clients keep enqueueing
+        through the degraded window and their jobs ride the restarted pair."""
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        try:
+            self._kill_fetcher(b)
+            fut = b.submit(_make_job(core, 128))  # must NOT raise "shut down"
+            assert b.ensure_running()
+            out = fut.result(timeout=10)
+            assert out.shape == (128 * core.config.hop_length,)
+        finally:
+            b.shutdown()
+
+    def test_concurrent_ensure_running_single_restart(self, core):
+        """Two racing repair calls must not start duplicate thread pairs."""
+        import threading as _threading
+
+        stub = _StubCore(core.config)
+        b = MicroBatcher(stub, max_batch=2, max_wait_ms=5)
+        try:
+            self._kill_dispatcher(b)
+            results = []
+            threads = [
+                _threading.Thread(target=lambda: results.append(b.ensure_running()))
+                for _ in range(4)
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=15)
+            assert all(results) and len(results) == 4
+            assert b.healthy
+            # Exactly one live dispatcher/fetcher pair (no duplicates racing
+            # the queue): count live vv-batcher threads.
+            live = [
+                t.name
+                for t in _threading.enumerate()
+                if t.name in ("vv-batcher", "vv-batcher-fetch") and t.is_alive()
+            ]
+            assert sorted(live) == ["vv-batcher", "vv-batcher-fetch"], live
+            out = b.submit(_make_job(core, 128)).result(timeout=10)
+            assert out.shape == (128 * core.config.hop_length,)
+        finally:
+            b.shutdown()
+
+    def test_retry_backoff_and_error_clearing(self, core):
+        """Retries back off exponentially (no hot loop against a sick
+        device) and a later success clears the sticky last_error."""
+        import time as _time
+
+        from vietvoice_tts_tpu.serving.batcher import RETRY_BASE_S
+
+        flaky = _FlakyCore(core.config, fail_first=2)
+        b = MicroBatcher(flaky, max_batch=2, max_wait_ms=5, retries=2)
+        try:
+            t0 = _time.monotonic()
+            out = b.submit(_make_job(core, 128)).result(timeout=20)
+            elapsed = _time.monotonic() - t0
+            assert out.shape == (128 * core.config.hop_length,)
+            assert b.stats.retries == 2
+            # attempt 1 waits RETRY_BASE_S, attempt 2 waits 2*RETRY_BASE_S.
+            assert elapsed >= 3 * RETRY_BASE_S * 0.8, elapsed
+            assert b.last_error is None  # cleared by the eventual success
+            assert b.last_error_ts is None
+        finally:
+            b.shutdown()
 
 
 class TestMultiHostLoop:

@@ -81,12 +81,16 @@ async def health() -> HealthResponse:
         engine = te._engine._engine
         synthetic = engine.model_session_manager.is_synthetic
         if engine.batcher is not None:
-            # Self-healing probe: a dead worker thread is restarted right
-            # here, and THIS response reports degraded so monitors see the
-            # incident even though service has already recovered.
+            # Self-healing probe: a dead worker thread is restarted off the
+            # event loop (repair joins threads for up to ~10 s — blocking the
+            # loop would freeze every other request), and THIS response
+            # reports degraded so monitors see the incident even though
+            # recovery is already underway.
             batcher_healthy = engine.batcher.healthy
             if not batcher_healthy:
-                engine.batcher.ensure_running()
+                import anyio
+
+                await anyio.to_thread.run_sync(engine.batcher.ensure_running)
             last_error = engine.batcher.last_error
     return HealthResponse(
         status="healthy" if batcher_healthy in (None, True) else "degraded",

@@ -26,7 +26,11 @@ from typing import Any, Dict, List, Optional, Union
 import numpy as np
 
 from ..utils.logging import get_logger
-from .probe import initializer_orientations, load_models_from_tarball
+from .probe import (
+    infer_architecture,
+    initializer_orientations,
+    load_models_from_tarball,
+)
 
 log = get_logger("convert")
 
@@ -110,6 +114,69 @@ def load_graph_orientations(
         for name, orient in initializer_orientations(model.graph).items():
             out[f"{stem}.{name}"] = orient
     return out
+
+
+# ---------------------------------------------------------------------------
+# Probed architecture → ModelConfig (round-2 verdict #1: facts come from
+# graph evidence; a conflict with an explicitly-passed config is a HARD
+# error, because e.g. a wrong head count silently changes RoPE frequencies
+# and produces wrong audio even with perfectly-mapped weights).
+# ---------------------------------------------------------------------------
+
+# probed fact name → ModelConfig field
+_ARCH_FIELD_MAP = {
+    "dim": "dit_dim",
+    "depth": "dit_depth",
+    "heads": "dit_heads",
+    "text_dim": "text_dim",
+    "n_mels": "n_mels",
+    "n_fft": "n_fft",
+    "hop_length": "hop_length",
+}
+
+
+def apply_probed_architecture(config, arch: dict):
+    """Reconcile probed graph facts with a ModelConfig.
+
+    - ``config is None`` → build a ModelConfig whose architecture fields
+      come from the probed facts (defaults fill the gaps).
+    - explicit ``config`` → every probed fact must MATCH the config, else
+      ``ValueError`` listing each mismatch (fact, probed, configured).
+    - probe conflicts (disagreeing evidence) are always a ``ValueError``.
+
+    Returns the (possibly newly-built) ModelConfig.
+    """
+    from ..config import ModelConfig
+
+    if arch.get("conflicts"):
+        raise ValueError(
+            "ONNX graph probe found conflicting architecture evidence: "
+            f"{arch['conflicts']} (evidence: "
+            f"{ {k: arch['evidence'].get(k) for k in arch['conflicts']} })"
+        )
+    facts = arch.get("facts", {})
+    overrides = {
+        _ARCH_FIELD_MAP[k]: v for k, v in facts.items() if k in _ARCH_FIELD_MAP
+    }
+    if config is None:
+        log.info("Architecture from graph probe: %s", overrides or "(no evidence)")
+        return ModelConfig(**overrides)
+    mismatches = [
+        (fact, v, getattr(config, field))
+        for fact, v in facts.items()
+        if (field := _ARCH_FIELD_MAP.get(fact)) and getattr(config, field) != v
+    ]
+    if mismatches:
+        detail = "; ".join(
+            f"{fact}: probed={probed} configured={configured}"
+            for fact, probed, configured in mismatches
+        )
+        raise ValueError(
+            "Configured architecture contradicts ONNX graph evidence — "
+            f"{detail}. Drop the explicit config (probe evidence wins) or "
+            "fix it to match the graphs."
+        )
+    return config
 
 
 # ---------------------------------------------------------------------------
@@ -398,15 +465,39 @@ def convert_reference_tarball(
     from .dit import DiTConfig, init_dit_params
     from .vocoder import VocoderConfig, init_vocoder_params
 
-    cfg = config or ModelConfig()
     pack = Path(pack_dir)
     report: dict = {"assets": extract_assets(tar_path, pack)}
+
+    # Architecture facts come from the graphs themselves (heads/head_dim/
+    # n_mels/...), never from config defaults; see apply_probed_architecture.
+    models = load_models_from_tarball(tar_path)
+    wanted = {Path(g).stem for g in _GRAPH_NAMES}
+    models = {k: v for k, v in models.items() if k in wanted}
+    arch = infer_architecture(models) if models else {"facts": {}, "conflicts": {}}
+    cfg = apply_probed_architecture(config, arch)
+    report["architecture"] = {
+        "facts": arch.get("facts", {}),
+        "evidence": {
+            k: [s["from"] for s in v] for k, v in arch.get("evidence", {}).items()
+        },
+    }
 
     vocab_size = cfg.vocab_size
     if report["assets"]["vocab"]:
         vocab_size = sum(
             1 for _ in (pack / "vocab.txt").read_text(encoding="utf-8").splitlines()
         )
+    probed_vocab = arch.get("facts", {}).get("vocab_size")
+    if probed_vocab is not None and probed_vocab != vocab_size:
+        # The embedding table's row count is what the weights must fit; a
+        # vocab.txt discrepancy usually means a trailing filler/unk row.
+        log.warning(
+            "vocab.txt has %d entries but the char-embedding table has %d "
+            "rows; sizing the parameter template from the table.",
+            vocab_size,
+            probed_vocab,
+        )
+        vocab_size = probed_vocab
     dit_cfg = DiTConfig(
         dim=cfg.dit_dim, depth=cfg.dit_depth, heads=cfg.dit_heads,
         ff_mult=cfg.dit_ff_mult, n_mels=cfg.n_mels, text_dim=cfg.text_dim,
@@ -421,7 +512,14 @@ def convert_reference_tarball(
         "dit": init_dit_params(cfg.random_seed, dit_cfg),
         "vocoder": init_vocoder_params(cfg.random_seed + 1, voc_cfg),
     }
-    graphs = load_onnx_initializers(tar_path)
+    graphs = {
+        stem: {
+            name: t.array
+            for name, t in m.graph.initializers.items()
+            if t.array is not None
+        }
+        for stem, m in models.items()
+    }
     if not graphs:
         report["weights"] = {
             "skipped": "no ONNX graphs found in tarball — pack keeps seeded weights"
@@ -430,7 +528,11 @@ def convert_reference_tarball(
         merged = {
             f"{g}.{n}": a for g, inits in graphs.items() for n, a in inits.items()
         }
-        orientations = load_graph_orientations(tar_path)
+        orientations = {
+            f"{stem}.{name}": orient
+            for stem, m in models.items()
+            for name, orient in initializer_orientations(m.graph).items()
+        }
         template, weight_report = map_initializers_to_params(
             merged, template, name_map=name_map, orientations=orientations
         )
@@ -462,6 +564,10 @@ def convert_reference_tarball(
                 "n_mels": cfg.n_mels, "n_fft": cfg.n_fft,
                 "hop_length": cfg.hop_length, "sample_rate": cfg.sample_rate,
                 "seed": cfg.random_seed, "converted_from": str(tar_path),
+                # Audit trail: which facts came from graph evidence (vs
+                # config defaults), so a loaded pack can prove its head
+                # count was probed, not assumed.
+                "probed": arch.get("facts", {}),
                 # Honest marker: a pack is only non-synthetic when every
                 # parameter leaf came from the reference's initializers.
                 "synthetic": bool(

@@ -33,6 +33,7 @@ from .onnx_pb import OnnxGraph, OnnxModel, parse_model
 __all__ = [
     "load_models_from_tarball",
     "initializer_orientations",
+    "infer_architecture",
     "probe_graph",
     "probe_tarball",
 ]
@@ -85,6 +86,201 @@ def initializer_orientations(graph: OnnxGraph) -> Dict[str, str]:
             if b in graph.initializers and len(graph.initializers[b].dims) == 2:
                 votes.setdefault(b, set()).add("as_is")
     return {name: v.pop() for name, v in votes.items() if len(v) == 1}
+
+
+# ---------------------------------------------------------------------------
+# Architecture-fact inference (round-2 verdict: derive head count / head_dim /
+# mel params from graph EVIDENCE, never from config defaults — a perfect
+# name-map conversion with the wrong head count still produces wrong audio,
+# because head_dim decides the RoPE frequencies, ops/rope.py:20-33).
+# ---------------------------------------------------------------------------
+
+
+def _last_static_dim(vi) -> Optional[int]:
+    if vi.shape:
+        d = vi.shape[-1]
+        if isinstance(d, int) and d > 0:
+            return d
+    return None
+
+
+def _record(facts: Dict[str, dict], key: str, value: int, source: str) -> None:
+    entry = facts.setdefault(key, {"votes": {}, "sources": []})
+    entry["votes"][value] = entry["votes"].get(value, 0) + 1
+    entry["sources"].append({"value": value, "from": source})
+
+
+def _looks_like_window(a) -> bool:
+    """Symmetric nonnegative taper peaking in the middle (hann-like)."""
+    import numpy as np
+
+    if a.ndim != 1 or a.size < 64 or a.dtype.kind != "f":
+        return False
+    if a.min() < -1e-6 or a.max() > 1.0 + 1e-6:
+        return False
+    if not np.allclose(a, a[::-1], atol=1e-4):
+        return False
+    mid = a[a.size // 4 : -a.size // 4].mean()
+    edge = (a[: a.size // 8].mean() + a[-a.size // 8 :].mean()) / 2
+    return mid > 2 * edge
+
+
+def infer_architecture(models: Dict[str, OnnxModel]) -> dict:
+    """Extract model-architecture facts from the three reference graphs.
+
+    Evidence map (reference I/O contract at
+    ``/root/reference/vietvoicetts/core/tts_engine.py:228-230``):
+
+    - **head_dim** — last static dim of the preprocess graph's four RoPE
+      table outputs (``rope_cos_q``/``rope_sin_q``/``rope_cos_k``/
+      ``rope_sin_k``); name-matched, with a fallback to any group of ≥4
+      outputs sharing a trailing static dim.
+    - **heads** — transformer ``Reshape`` nodes whose shape initializer is
+      ``[..., heads, head_dim]`` (the pre-attention head split); derived
+      ``dim // head_dim`` is cross-checked when both are known.
+    - **dim** — modal length of the transformer graph's 1-D float
+      initializers (LayerNorm scales/biases are all ``[dim]``).
+    - **depth** — count of distinct layer indices among transformer
+      initializer names (``...\\.N\\....``) in the largest pattern family.
+    - **n_mels** — last static dim of the preprocess ``noise`` output /
+      transformer ``noise`` input / decode mel input.
+    - **vocab_size / text_dim** — the preprocess char-embedding table: the
+      2-D initializer consumed as ``Gather`` data.
+    - **n_fft** — a hann-like window initializer in the decode graph (iSTFT
+      head), or ``ConvTranspose kernel_shape`` as weaker evidence.
+    - **hop_length** — decode ``ConvTranspose`` strides (overlap-add step).
+
+    Returns ``{"facts": {name: int}, "conflicts": {name: [votes...]},
+    "evidence": {name: [{value, from}...]}}``. A fact with disagreeing
+    evidence lands in ``conflicts`` and is ABSENT from ``facts`` — callers
+    (``convert.py``) treat that, or a mismatch with an explicit config, as a
+    hard error rather than silently shipping a default.
+    """
+    raw: Dict[str, dict] = {}
+
+    pre = models.get("preprocess")
+    if pre is not None:
+        g = pre.graph
+        rope_outs = [
+            v
+            for v in g.outputs
+            if any(k in v.name.lower() for k in ("rope", "cos", "sin"))
+        ]
+        if len(rope_outs) < 4:
+            # Fallback: a group of ≥4 outputs sharing one trailing static dim
+            by_dim: Dict[int, int] = {}
+            for v in g.outputs:
+                d = _last_static_dim(v)
+                if d:
+                    by_dim[d] = by_dim.get(d, 0) + 1
+            groups = [d for d, c in by_dim.items() if c >= 4]
+            if len(groups) == 1:
+                _record(raw, "head_dim", groups[0], "preprocess: 4-output shape group")
+        for v in rope_outs:
+            d = _last_static_dim(v)
+            if d:
+                _record(raw, "head_dim", d, f"preprocess output {v.name}")
+        for v in g.outputs:
+            if "noise" in v.name.lower():
+                d = _last_static_dim(v)
+                if d:
+                    _record(raw, "n_mels", d, f"preprocess output {v.name}")
+        for node in g.nodes:
+            if node.op_type == "Gather" and node.inputs:
+                data = node.inputs[0]
+                t = g.initializers.get(data)
+                if t is not None and len(t.dims) == 2:
+                    _record(raw, "vocab_size", t.dims[0], f"preprocess Gather {data}")
+                    _record(raw, "text_dim", t.dims[1], f"preprocess Gather {data}")
+
+    tr = models.get("transformer")
+    if tr is not None:
+        g = tr.graph
+        for v in g.inputs:
+            if "noise" in v.name.lower():
+                d = _last_static_dim(v)
+                if d:
+                    _record(raw, "n_mels", d, f"transformer input {v.name}")
+        # dim: modal 1-D float-initializer length (norm scales and biases).
+        lengths: Dict[int, int] = {}
+        for t in g.initializers.values():
+            if len(t.dims) == 1 and t.data_type == 1 and t.dims[0] >= 64:
+                lengths[t.dims[0]] = lengths.get(t.dims[0], 0) + 1
+        if lengths:
+            dim = max(lengths.items(), key=lambda kv: kv[1])[0]
+            _record(raw, "dim", dim, f"transformer: modal 1-D initializer length ×{lengths[dim]}")
+        # depth: layer-index families in initializer names.
+        import re
+
+        fam: Dict[str, set] = {}
+        for name in g.initializers:
+            m = re.search(r"\.(\d+)\.", name)
+            if m:
+                fam.setdefault(name[: m.start()] + ".#." + name[m.end():], set()).add(
+                    int(m.group(1))
+                )
+        if fam:
+            # The DiT trunk is the deepest contiguous 0..L-1 family in the
+            # transformer graph (the only other indexed family is the small
+            # text-conv stack). Singleton families are no evidence at all.
+            sizes = [
+                len(idxs)
+                for idxs in fam.values()
+                if len(idxs) >= 2 and idxs == set(range(len(idxs)))
+            ]
+            if sizes:
+                _record(raw, "depth", max(sizes), "transformer: deepest layer-index family")
+        # heads: Reshape to [..., heads, head_dim].
+        head_dim_votes = raw.get("head_dim", {}).get("votes", {})
+        hd = next(iter(head_dim_votes)) if len(head_dim_votes) == 1 else None
+        for node in g.nodes:
+            if node.op_type != "Reshape" or len(node.inputs) < 2:
+                continue
+            t = g.initializers.get(node.inputs[1])
+            if t is None or t.array is None or t.array.ndim != 1 or t.array.size < 3:
+                continue
+            vals = [int(x) for x in t.array]
+            if hd is not None and vals[-1] == hd and vals[-2] > 1:
+                _record(raw, "heads", vals[-2], f"transformer Reshape {node.inputs[1]}")
+
+    dec = models.get("decode")
+    if dec is not None:
+        g = dec.graph
+        for v in g.inputs:
+            low = v.name.lower()
+            if "noise" in low or "mel" in low:
+                d = _last_static_dim(v)
+                if d and d > 1:
+                    _record(raw, "n_mels", d, f"decode input {v.name}")
+        for t in g.initializers.values():
+            if t.array is not None and _looks_like_window(t.array):
+                _record(raw, "n_fft", int(t.array.size), f"decode window {t.name}")
+        for node in g.nodes:
+            if node.op_type == "ConvTranspose":
+                strides = node.attrs.get("strides")
+                if strides:
+                    _record(raw, "hop_length", int(strides[0]), "decode ConvTranspose strides")
+                ks = node.attrs.get("kernel_shape")
+                if ks and "n_fft" not in raw:
+                    _record(raw, "n_fft", int(ks[0]), "decode ConvTranspose kernel_shape")
+
+    facts: Dict[str, int] = {}
+    conflicts: Dict[str, list] = {}
+    for key, entry in raw.items():
+        if len(entry["votes"]) == 1:
+            facts[key] = next(iter(entry["votes"]))
+        else:
+            conflicts[key] = sorted(entry["votes"])
+    # Derived heads = dim / head_dim; cross-checked against Reshape evidence.
+    if "dim" in facts and "head_dim" in facts and facts["dim"] % facts["head_dim"] == 0:
+        derived = facts["dim"] // facts["head_dim"]
+        if "heads" in facts and facts["heads"] != derived:
+            conflicts["heads"] = sorted({facts.pop("heads"), derived})
+        elif "heads" not in facts and "heads" not in conflicts:
+            facts["heads"] = derived
+            _record(raw, "heads", derived, "derived: dim // head_dim")
+    evidence = {k: v["sources"] for k, v in raw.items()}
+    return {"facts": facts, "conflicts": conflicts, "evidence": evidence}
 
 
 def _value_infos(infos) -> List[dict]:
@@ -146,7 +342,9 @@ def probe_tarball(tar_path, graphs: Optional[List[str]] = None) -> dict:
     if graphs:
         wanted = {Path(x).stem for x in graphs}
         models = {k: v for k, v in models.items() if k in wanted}
-    return {stem: probe_graph(m) for stem, m in sorted(models.items())}
+    report = {stem: probe_graph(m) for stem, m in sorted(models.items())}
+    report["architecture"] = infer_architecture(models)
+    return report
 
 
 def main(argv: Optional[List[str]] = None) -> int:  # pragma: no cover — thin CLI

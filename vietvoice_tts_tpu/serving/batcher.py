@@ -43,6 +43,13 @@ class ChunkJob:
     attempts: int = 0  # failed dispatch/fetch attempts so far
 
 
+# Retry backoff: attempt k waits RETRY_BASE_S * 2**(k-1), capped. Keeps a
+# persistently failing dispatch from hot-looping against a sick device while
+# still recovering quickly from one-off transfer hiccups.
+RETRY_BASE_S = 0.05
+RETRY_MAX_S = 1.0
+
+
 @dataclass
 class BatcherStats:
     batches: int = 0
@@ -73,6 +80,17 @@ class MicroBatcher:
         self._queue: "queue.Queue[Optional[ChunkJob]]" = queue.Queue()
         self._stats = BatcherStats()
         self._running = True
+        # Serializes ensure_running/shutdown so two concurrent repair calls
+        # never start duplicate thread pairs racing one queue. submit() stays
+        # lock-free: _running only ever flips False at shutdown, never during
+        # repair, so clients keep enqueueing through a repair window.
+        self._lifecycle_lock = threading.Lock()
+        # Thread generation. Worker loops capture the generation they were
+        # started with and exit as soon as it moves on; a wake-up sentinel
+        # (None) read by a CURRENT-generation worker is stale by definition
+        # (it was posted to retire a previous generation) and is discarded,
+        # so repair never needs to drain queues or guess which consumer died.
+        self._gen = 0
         # Failure bookkeeping (surfaced at /api/v1/health): last batch error
         # and its wall-clock time. A failed batch does NOT fail its jobs
         # outright — each rides a fresh dispatch up to ``retries`` times
@@ -87,9 +105,13 @@ class MicroBatcher:
         self._start_threads()
 
     def _start_threads(self) -> None:
-        self._thread = threading.Thread(target=self._loop, daemon=True, name="vv-batcher")
+        self._gen += 1
+        gen = self._gen
+        self._thread = threading.Thread(
+            target=self._loop, args=(gen,), daemon=True, name="vv-batcher"
+        )
         self._fetcher = threading.Thread(
-            target=self._fetch_loop, daemon=True, name="vv-batcher-fetch"
+            target=self._fetch_loop, args=(gen,), daemon=True, name="vv-batcher-fetch"
         )
         self._thread.start()
         self._fetcher.start()
@@ -121,35 +143,50 @@ class MicroBatcher:
         """Restart any dead worker thread; returns post-repair health.
 
         Queued and in-flight work survives the restart: jobs live in
-        ``_queue``/``_inflight``, not in thread state. No-op after
-        ``shutdown`` (returns False)."""
-        if not self._running:
-            return False
-        if self._thread.is_alive() and self._fetcher.is_alive():
-            return True
-        log.warning(
-            "Batcher thread death detected (dispatcher=%s fetcher=%s); restarting",
-            self._thread.is_alive(),
-            self._fetcher.is_alive(),
-        )
-        if self._thread.is_alive() or self._fetcher.is_alive():
-            # Partial death: retire the survivor cleanly before restarting
-            # the pair, so two dispatchers never race one queue.
-            was_running = self._running
-            self._running = False
-            self._queue.put(None)
-            self._inflight.put(None)
-            self._thread.join(timeout=5.0)
-            self._fetcher.join(timeout=5.0)
-            self._running = was_running
-        self._start_threads()
-        return self.healthy
+        ``_queue``/``_inflight``, not in thread state. ``_running`` is never
+        flipped during repair, so concurrent ``submit`` calls keep being
+        accepted. Serialized with ``shutdown`` via the lifecycle lock. No-op
+        after ``shutdown`` (returns False)."""
+        with self._lifecycle_lock:
+            if not self._running:
+                return False
+            if self._thread.is_alive() and self._fetcher.is_alive():
+                return True
+            log.warning(
+                "Batcher thread death detected (dispatcher=%s fetcher=%s); restarting",
+                self._thread.is_alive(),
+                self._fetcher.is_alive(),
+            )
+            # Retire any survivor cleanly before restarting the pair, so two
+            # dispatchers never race one queue. Bumping the generation makes
+            # the survivor's loop exit at its next wake-up; the sentinel only
+            # goes into a queue whose consumer is actually alive (a sentinel
+            # for a dead consumer would sit in the queue and kill its
+            # freshly-started replacement — the old partial-death bug).
+            self._gen += 1
+            if self._thread.is_alive():
+                self._queue.put(None)
+                self._thread.join(timeout=5.0)
+            if self._fetcher.is_alive():
+                try:
+                    # put can block when _inflight is full; the live fetcher
+                    # drains it within one fetch, but bound the wait anyway.
+                    self._inflight.put(None, timeout=5.0)
+                except queue.Full:  # pragma: no cover — fetch wedged
+                    pass
+                self._fetcher.join(timeout=5.0)
+            self._start_threads()
+            return self.healthy
 
     def shutdown(self, timeout: float = 10.0) -> None:
-        self._running = False
+        with self._lifecycle_lock:
+            self._running = False
         self._queue.put(None)
         self._thread.join(timeout=timeout)
-        self._inflight.put(None)
+        try:
+            self._inflight.put(None, timeout=timeout)
+        except queue.Full:  # pragma: no cover — fetch wedged at shutdown
+            pass
         self._fetcher.join(timeout=timeout)
         # Fail (don't hang) futures still queued at shutdown.
         while True:
@@ -219,9 +256,26 @@ class MicroBatcher:
         self._inflight.put((fetch, jobs))
         log.debug("dispatched batch: bucket=%d size=%d padded=%d", bucket, b, padded)
 
+    def _requeue_later(self, job: ChunkJob, delay: float) -> None:
+        """Re-queue a failed job after a backoff delay (daemon timer thread).
+
+        If the batcher shut down while the timer was pending, fail the future
+        instead of parking the job in a queue nobody will drain."""
+
+        def fire() -> None:
+            if self._running:
+                self._queue.put(job)
+            elif not job.future.done():
+                job.future.set_exception(RuntimeError("MicroBatcher is shut down"))
+
+        t = threading.Timer(delay, fire)
+        t.daemon = True
+        t.start()
+
     def _fail_or_retry(self, jobs: list[ChunkJob], exc: Exception) -> None:
         """Batch failed: re-queue each job for a fresh dispatch while it has
-        attempts left; fail its future once retries are exhausted. A batch
+        attempts left (with exponential backoff so a sick device isn't
+        hot-looped); fail its future once retries are exhausted. A batch
         failure is recorded either way (health observability)."""
         self.last_error = f"{type(exc).__name__}: {exc}"
         self.last_error_ts = time.time()
@@ -231,22 +285,26 @@ class MicroBatcher:
             if self._running and job.attempts < self.retries:
                 job.attempts += 1
                 self._stats.retries += 1
+                delay = min(RETRY_BASE_S * (2 ** (job.attempts - 1)), RETRY_MAX_S)
                 log.warning(
-                    "Retrying job (attempt %d/%d) after batch error: %s",
+                    "Retrying job (attempt %d/%d, backoff %.0f ms) after batch error: %s",
                     job.attempts,
                     self.retries,
+                    delay * 1000,
                     exc,
                 )
-                self._queue.put(job)
+                self._requeue_later(job, delay)
             else:
                 self._stats.failures += 1
                 job.future.set_exception(exc)
 
-    def _fetch_loop(self) -> None:
+    def _fetch_loop(self, gen: int) -> None:
         while True:
             item = self._inflight.get()
             if item is None:
-                return
+                if not self._running or gen != self._gen:
+                    return
+                continue  # stale sentinel from a previous generation's repair
             fetch, jobs = item
             try:
                 out = fetch()
@@ -256,15 +314,19 @@ class MicroBatcher:
             self._stats.batches += 1
             self._stats.jobs += len(jobs)
             self._stats.padded_rows += out.shape[0] - len(jobs)
+            # Recovery observability: a successful batch clears the sticky
+            # error so /health stops reporting a stale incident.
+            self.last_error = None
+            self.last_error_ts = None
             for row, job in enumerate(jobs):
                 job.future.set_result(out[row])
 
-    def _loop(self) -> None:
-        while self._running:
+    def _loop(self, gen: int) -> None:
+        while self._running and gen == self._gen:
             try:
                 jobs = self._collect()
                 if not jobs:
-                    continue
+                    continue  # woken by a sentinel; loop condition re-checked
                 try:
                     self._run_batch(jobs)
                 except Exception as e:  # noqa: BLE001 — retry, then propagate
