@@ -41,6 +41,13 @@ class Settings:
         self.WARMUP_ON_START = env.get("WARMUP_ON_START", "0").lower() in (
             "1", "true", "yes",
         )
+        # The SERVER defaults to refusing synthetic (seeded-random) weight
+        # packs: a misconfigured deployment would otherwise serve noise with
+        # HTTP 200. Offline demos opt in with VIETVOICE_ALLOW_SYNTHETIC=1;
+        # the CLI keeps the permissive library default (config.py).
+        self.ALLOW_SYNTHETIC = env.get("VIETVOICE_ALLOW_SYNTHETIC", "0").lower() in (
+            "1", "true", "yes",
+        )
 
 
 settings = Settings()

@@ -25,7 +25,12 @@ from .schemas import Area, Emotion, Gender, Group
 log = get_logger("api.engine")
 
 _engine: Optional[TTSApi] = None
-_engine_config = ModelConfig()
+# Server-side default: refuse synthetic packs unless VIETVOICE_ALLOW_SYNTHETIC
+# opts in (api/settings.py) — a server quietly producing random-weight noise
+# with HTTP 200 is worse than one that fails to start.
+from .settings import settings as _settings  # noqa: E402
+
+_engine_config = ModelConfig(allow_synthetic_pack=_settings.ALLOW_SYNTHETIC)
 
 
 def get_tts_engine() -> TTSApi:

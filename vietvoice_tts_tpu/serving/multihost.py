@@ -30,6 +30,7 @@ from typing import Optional
 
 import numpy as np
 
+from ..config import pad_batch_size
 from ..runtime.engine_core import EngineCore
 from ..utils.logging import get_logger
 from .batcher import ChunkJob
@@ -124,7 +125,12 @@ class MultiHostServingLoop:
 
         hop = self.core.config.hop_length
         bucket = jobs[0].bucket if jobs else self.heartbeat_bucket
-        b = self.max_batch  # fixed batch → one program per bucket
+        # Pad rows to the power-of-two batch grid (config.pad_batch_size),
+        # exactly like the MicroBatcher: one queued job costs a 1-row (or
+        # 2-row) program, not a full max_batch one, and the jit cache stays
+        # bounded at log2(max_batch)+2 programs per bucket. Heartbeats ride
+        # the smallest grid size.
+        b = pad_batch_size(max(len(jobs), 1), self.max_batch)
         batch = _Batch(
             bucket=bucket,
             wave=np.zeros((b, bucket * hop), np.float32),
@@ -162,16 +168,19 @@ class MultiHostServingLoop:
         bcast = self._broadcast_fn
 
         hop = self.core.config.hop_length
-        b = self.max_batch
-        # Fixed-shape payload per (bucket, ref_cap): broadcast the shape
-        # descriptor first so non-coordinators allocate matching buffers.
+        # Fixed-shape payload per (bucket, batch, ref_cap): broadcast the
+        # shape descriptor first so non-coordinators allocate matching
+        # buffers. ``b`` is the grid-padded row count (power of two ≤
+        # max_batch), so low-traffic steps ship 1–2 rows, not max_batch.
         if self.is_coordinator:
             ref_cap = int(batch.ref_len.max()) if batch.n_real else 1
-            meta = np.array([batch.bucket, batch.n_real, ref_cap], np.int64)
+            meta = np.array(
+                [batch.bucket, batch.n_real, ref_cap, batch.wave.shape[0]], np.int64
+            )
         else:
-            meta = np.zeros(3, np.int64)
+            meta = np.zeros(4, np.int64)
         meta = bcast(meta)
-        bucket, n_real, ref_cap = (int(x) for x in meta)
+        bucket, n_real, ref_cap, b = (int(x) for x in meta)
 
         if self.is_coordinator:
             payload = (
@@ -254,6 +263,22 @@ class MultiHostServingLoop:
                     if not job.future.done():
                         job.future.set_exception(e)
                 fetch = None
+                if self.n_hosts > 1:
+                    # Lockstep is broken: this host skipped a program the
+                    # other hosts entered (or, on the coordinator, workers
+                    # entered one it never dispatched results for). A
+                    # silently-continuing loop would desync every later
+                    # collective — stop loudly instead; supervision restarts
+                    # the slice (SURVEY §5: reference has no recovery at
+                    # all, our failure contract is documented fail-stop).
+                    log.error(
+                        "Dispatch failure on host %d of %d breaks SPMD "
+                        "lockstep; stopping the serving loop.",
+                        self.process_index,
+                        self.n_hosts,
+                    )
+                    self._running = False
+                    break
             self._resolve(pending)
             pending = (fetch, jobs) if fetch is not None else None
         self._resolve(pending)
