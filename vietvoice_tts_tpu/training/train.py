@@ -36,6 +36,12 @@ class TrainConfig:
     cfg_dropout: float = 0.1  # P(drop cond+text) per sample
     min_span_frac: float = 0.7  # masked-infill span, fraction of target
     max_span_frac: float = 1.0
+    # Mixed precision: "bfloat16" runs the DiT's matmul/attention compute in
+    # bf16 while the params handed to the optimizer — the master weights —
+    # and Adam moments stay float32 (the forward casts weights per-use, so
+    # gradients come out f32; bf16 needs no loss scaling thanks to its f32
+    # exponent range). "float32" is the bit-exact reference path.
+    compute_dtype: str = "float32"
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
@@ -106,8 +112,14 @@ def init_train_state(params: Params, train_cfg: TrainConfig):
 
 
 def make_train_step(dit_cfg: DiTConfig, train_cfg: TrainConfig):
-    """Build the jittable (params, opt_state, key, batch) → updated state."""
+    """Build the jittable (params, opt_state, key, batch) → updated state.
+
+    ``train_cfg.compute_dtype`` overrides the DiT's compute dtype for the
+    forward/backward pass (bf16 MXU work, f32 master weights + optimizer)."""
     optimizer = make_optimizer(train_cfg)
+    dit_cfg = dataclasses.replace(
+        dit_cfg, compute_dtype=jnp.dtype(train_cfg.compute_dtype)
+    )
 
     def train_step(
         params: Params,
