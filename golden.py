@@ -46,17 +46,31 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def reference_side(tarball: str, text: str) -> dict:
+def _session_factory():
+    """ORT when installed, else the built-in numpy evaluator
+    (``models/onnx_eval.py``) — same ``run``/``get_inputs`` surface."""
+    try:
+        import onnxruntime as ort
+
+        return lambda data: ort.InferenceSession(data)
+    except ImportError:
+        from vietvoice_tts_tpu.models.onnx_eval import EvalSession
+
+        return EvalSession
+
+
+def reference_side(tarball: str, text: str, nfe_step: int = 32) -> dict:
     """Run the reference graphs → {audio, combined_text, noise, ref_mel,
-    ref_signal_len, nfe_step}. Mirrors ``core/tts_engine.py:133-187``."""
+    ref_signal_len, nfe_step}. Mirrors ``core/tts_engine.py:133-187``.
+    ``nfe_step`` must match the graph's embedded schedule (32 for the real
+    model, ``core/model_config.py:29``; fixture tests use fewer)."""
     import tarfile
 
-    import onnxruntime as ort
-
-    from vietvoice_tts_tpu.models.probe import load_models_from_tarball  # noqa: F401
     from vietvoice_tts_tpu.pipeline.audio import AudioProcessor
     from vietvoice_tts_tpu.pipeline.text import TextProcessor
     from vietvoice_tts_tpu.models.convert import extract_assets
+
+    make_session = _session_factory()
 
     with tempfile.TemporaryDirectory() as td:
         assets = extract_assets(tarball, td)
@@ -77,9 +91,7 @@ def reference_side(tarball: str, text: str) -> dict:
             for member in tar.getmembers():
                 if member.name.endswith(".onnx"):
                     stem = Path(member.name).stem
-                    sessions[stem] = ort.InferenceSession(
-                        tar.extractfile(member).read()
-                    )
+                    sessions[stem] = make_session(tar.extractfile(member).read())
         pre, trans = sessions["preprocess"], sessions["transformer"]
 
         combined = tp.clean_text(ref_text) + tp.clean_text(text)
@@ -103,7 +115,6 @@ def reference_side(tarball: str, text: str) -> dict:
 
         t_names = [i.name for i in trans.get_inputs()]
         state = list(outs[: len(t_names) - 1]) + [np.asarray([0], np.int32)]
-        nfe_step = 32
         for _ in range(0, nfe_step - 1):
             o = trans.run(None, dict(zip(t_names, state)))
             state[0], state[-1] = o[0], o[1]
@@ -132,18 +143,22 @@ def _as_latent_layout(a: np.ndarray, n_mels: int) -> np.ndarray:
     return a
 
 
-def tpu_side(pack_dir, ref: dict, atol: float = 1e-2) -> dict:
+def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dict:
     """Integrate OUR sampler from the reference's noise; compare mels.
 
     ``ref`` needs: audio (f32 [-1,1]), combined_text, noise, ref_mel,
-    ref_signal_len, nfe_step. Returns the comparison report (one dict)."""
+    ref_signal_len, nfe_step. Returns the comparison report (one dict).
+    ``config_overrides`` reach the ModelConfig — fixture rehearsals pass
+    ``compute_dtype="float32", transfer_dtype="float32"`` to isolate
+    conversion bugs from serving-precision noise; the real gate runs the
+    serving defaults (bf16 compute) because that's what ships."""
     from vietvoice_tts_tpu.pipeline.text import TextProcessor
     from vietvoice_tts_tpu.runtime.engine_core import EngineCore
     from vietvoice_tts_tpu.runtime.serialization import load_params
     from vietvoice_tts_tpu.runtime.session import config_from_pack
 
     pack = Path(pack_dir)
-    cfg = config_from_pack(pack, nfe_step=int(ref["nfe_step"]))
+    cfg = config_from_pack(pack, nfe_step=int(ref["nfe_step"]), **config_overrides)
     params = load_params(pack / "params.msgpack")
     core = EngineCore(cfg, params, cfg.vocab_size)
 
@@ -198,7 +213,29 @@ def main() -> int:
     ap.add_argument("--name-map", default=None, help="JSON name_map for conversion")
     ap.add_argument("--text", default="Xin chào Việt Nam.")
     ap.add_argument("--atol", type=float, default=1e-2)
+    ap.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the TPU side onto the CPU backend (fixture rehearsals; "
+        "the axon plugin ignores JAX_PLATFORMS so this must be set via "
+        "jax.config before any device query)",
+    )
+    ap.add_argument(
+        "--serving-precision",
+        action="store_true",
+        help="run the TPU side with the pack's serving dtypes (bf16 compute, "
+        "f16 transfer) instead of the default f32 numerics mode. The gate "
+        "defaults to f32 so it measures CONVERSION correctness; fixture "
+        "rehearsal measured the serving-precision drift at ~6e-3 MAE / "
+        "3.5e-2 max-abs on random weights — report both when qualifying "
+        "real weights.",
+    )
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     # -- acquire reference-side arrays ---------------------------------------
     if args.ref_npz:
@@ -207,14 +244,16 @@ def main() -> int:
     else:
         if not args.onnx_tarball:
             return _skip("no --onnx-tarball and no --ref-npz (tarball needs network)")
+        from vietvoice_tts_tpu.models.onnx_eval import UnsupportedOp
+
         try:
-            import onnxruntime  # noqa: F401
-        except ImportError:
+            ref = reference_side(args.onnx_tarball, args.text)
+        except UnsupportedOp as e:
             return _skip(
-                "onnxruntime not installed — run the reference side elsewhere "
-                "with --save-ref and pass --ref-npz here"
+                f"graphs use op '{e}' outside the built-in evaluator's subset "
+                "and onnxruntime is not installed — run the reference side "
+                "elsewhere with --save-ref and pass --ref-npz here"
             )
-        ref = reference_side(args.onnx_tarball, args.text)
         if args.save_ref:
             np.savez(
                 args.save_ref,
@@ -242,7 +281,13 @@ def main() -> int:
                 " — extend the name map (see docs/CONVERSION_RUNBOOK.md)"
             )
 
-    result = tpu_side(pack, ref, atol=args.atol)
+    overrides = (
+        {}
+        if args.serving_precision
+        else {"compute_dtype": "float32", "transfer_dtype": "float32"}
+    )
+    result = tpu_side(pack, ref, atol=args.atol, **overrides)
+    result["precision"] = "serving" if args.serving_precision else "float32"
     print(json.dumps(result))
     return 0 if result["allclose"] else 1
 

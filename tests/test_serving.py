@@ -539,9 +539,13 @@ class TestMultiHostBroadcast:
         finally:
             coord.stop()
             worker.stop()
-        # The worker entered the same program shape at least once.
+        # The worker entered the same program shapes as the coordinator, in
+        # the same order (SPMD lockstep), all on the power-of-two grid —
+        # whether the two jobs co-rode one 2-row batch or two 1-row ones
+        # depends on arrival timing.
         assert stub_w.dispatched_rows, "worker never dispatched"
-        assert stub_w.dispatched_rows[0] == stub_c.dispatched_rows[0] == 2
+        assert stub_w.dispatched_rows == stub_c.dispatched_rows
+        assert set(stub_c.dispatched_rows) <= {1, 2}
 
     def test_compact_wire_format_and_reconstruction(self, core):
         """Payload wave is the f16 reference prefix only; ids are int16; all

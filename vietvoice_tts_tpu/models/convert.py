@@ -129,9 +129,13 @@ _ARCH_FIELD_MAP = {
     "depth": "dit_depth",
     "heads": "dit_heads",
     "text_dim": "text_dim",
+    "text_conv_layers": "text_conv_layers",
     "n_mels": "n_mels",
     "n_fft": "n_fft",
     "hop_length": "hop_length",
+    "vocoder_dim": "vocoder_dim",
+    "vocoder_layers": "vocoder_num_layers",
+    "vocoder_intermediate": "vocoder_intermediate_dim",
 }
 
 
@@ -220,8 +224,11 @@ def _layer_index(name: str) -> tuple[str, int] | None:
     return name[: m.start()] + ".#." + name[m.end() :], int(m.group(1))
 
 
-# A name_map value: initializer name, {"name": ..., "transpose": bool}, or a
-# list of either (stacked on axis 0 in list order, for depth-stacked leaves).
+# A name_map value: initializer name, {"name": ..., "transpose": bool,
+# "perm": [..]} (``perm`` is an explicit np.transpose axis order for N-D
+# weights, e.g. [2, 1, 0] for torch Conv1d [out, in, k] → our [k, in, out]),
+# or a list of either (stacked on axis 0 in list order, for depth-stacked
+# leaves).
 NameSpec = Union[str, Dict[str, Any], List[Union[str, Dict[str, Any]]]]
 
 
@@ -230,9 +237,15 @@ def _spec_entries(spec: NameSpec) -> list[dict]:
     out = []
     for it in items:
         if isinstance(it, str):
-            out.append({"name": it, "transpose": None})
+            out.append({"name": it, "transpose": None, "perm": None})
         else:
-            out.append({"name": it["name"], "transpose": it.get("transpose")})
+            out.append(
+                {
+                    "name": it["name"],
+                    "transpose": it.get("transpose"),
+                    "perm": it.get("perm"),
+                }
+            )
     return out
 
 
@@ -241,12 +254,17 @@ def _orient(
     target_shape: tuple,
     transpose_flag,
     orientation: Optional[str],
+    perm=None,
 ) -> Optional[tuple[np.ndarray, bool]]:
     """Orient one initializer toward ``target_shape`` → (array, was_flipped).
 
-    Precedence: explicit transpose flag > consumer-derived orientation >
-    shape inference (exact first, transposed 2-D second). Returns None when
-    no orientation produces the target shape."""
+    Precedence: explicit perm > explicit transpose flag > consumer-derived
+    orientation > shape inference (exact first, transposed 2-D second,
+    reversed-axes 3-D conv last: torch Conv1d stores [out, in, k], ours is
+    [k, in, out]). Returns None when no orientation produces the target."""
+    if perm is not None:
+        v = np.transpose(a, perm)
+        return (v, True) if tuple(v.shape) == target_shape else None
     if transpose_flag is not None:
         v = a.T if transpose_flag else a
         return (v, bool(transpose_flag)) if tuple(v.shape) == target_shape else None
@@ -260,6 +278,8 @@ def _orient(
         return a, False
     if fits_flipped:
         return a.T, True
+    if a.ndim == 3 and tuple(a.shape[::-1]) == target_shape and a.shape != a.shape[::-1]:
+        return np.transpose(a, (2, 1, 0)), True
     return None
 
 
@@ -331,7 +351,11 @@ def map_initializers_to_params(
                 src, flag = entries[0]["name"], entries[0]["transpose"]
                 a = inits.get(src)
                 hit = (
-                    None if a is None else _orient(a, shape, flag, orientations.get(src))
+                    None
+                    if a is None
+                    else _orient(
+                        a, shape, flag, orientations.get(src), entries[0]["perm"]
+                    )
                 )
                 if hit is None:
                     unresolved.append(path)
@@ -345,7 +369,9 @@ def map_initializers_to_params(
                     hit = (
                         None
                         if a is None
-                        else _orient(a, inner, e["transpose"], orientations.get(e["name"]))
+                        else _orient(
+                            a, inner, e["transpose"], orientations.get(e["name"]), e["perm"]
+                        )
                     )
                     if hit is None:
                         parts = None
@@ -374,13 +400,23 @@ def map_initializers_to_params(
             )
             take(cands[0], path, a.T if flip else a, flipped=flip)
             continue
-        # 3. unique transposed 2-D match
+        # 3. unique transposed 2-D match / reversed-axes 3-D conv match
         if len(shape) == 2:
             t_cands = [
                 n for n in by_shape.get((shape[1], shape[0]), []) if n not in used
             ]
             if not cands and len(t_cands) == 1:
                 take(t_cands[0], path, inits[t_cands[0]].T, flipped=True)
+                continue
+        if len(shape) == 3 and shape != shape[::-1]:
+            p_cands = [n for n in by_shape.get(shape[::-1], []) if n not in used]
+            if not cands and len(p_cands) == 1:
+                take(
+                    p_cands[0],
+                    path,
+                    np.transpose(inits[p_cands[0]], (2, 1, 0)),
+                    flipped=True,
+                )
                 continue
         # 4. depth-stacked leaf: L per-layer tensors stacked on axis 0
         if len(shape) >= 2:
@@ -391,6 +427,7 @@ def map_initializers_to_params(
                 ):
                     continue
                 transpose = False
+                permute = False
                 if ishape == inner:
                     # Square per-layer weights: trust consumer orientation.
                     transpose = (
@@ -404,6 +441,12 @@ def map_initializers_to_params(
                     )
                 elif len(inner) == 2 and ishape == (inner[1], inner[0]):
                     transpose = True
+                elif (
+                    len(inner) == 3
+                    and ishape == inner[::-1]
+                    and inner != inner[::-1]
+                ):
+                    permute = True  # torch Conv1d [out, in, k] → [k, in, out]
                 else:
                     continue
                 if any(members[i] in used for i in range(depth)):
@@ -411,6 +454,9 @@ def map_initializers_to_params(
                 arrs = [inits[members[i]] for i in range(depth)]
                 if transpose:
                     arrs = [a.T for a in arrs]
+                elif permute:
+                    transpose = True  # bookkeeping: counts as a layout flip
+                    arrs = [np.transpose(a, (2, 1, 0)) for a in arrs]
                 stacked = np.stack(arrs).astype(np.float32)
                 for i in range(depth):
                     used.add(members[i])
@@ -487,17 +533,20 @@ def convert_reference_tarball(
         vocab_size = sum(
             1 for _ in (pack / "vocab.txt").read_text(encoding="utf-8").splitlines()
         )
-    probed_vocab = arch.get("facts", {}).get("vocab_size")
-    if probed_vocab is not None and probed_vocab != vocab_size:
-        # The embedding table's row count is what the weights must fit; a
-        # vocab.txt discrepancy usually means a trailing filler/unk row.
+    rows = arch.get("facts", {}).get("embedding_rows")
+    if rows is not None and rows not in (vocab_size, vocab_size + 1):
+        # Our template allocates vocab_size+1 rows (filler row 0); a table
+        # that matches neither convention means the name map must handle the
+        # row layout explicitly — surface it loudly.
         log.warning(
-            "vocab.txt has %d entries but the char-embedding table has %d "
-            "rows; sizing the parameter template from the table.",
+            "Char-embedding table has %d rows but vocab.txt has %d entries "
+            "(expected %d or %d) — check the filler-row convention before "
+            "trusting the text_embed mapping.",
+            rows,
             vocab_size,
-            probed_vocab,
+            vocab_size,
+            vocab_size + 1,
         )
-        vocab_size = probed_vocab
     dit_cfg = DiTConfig(
         dim=cfg.dit_dim, depth=cfg.dit_depth, heads=cfg.dit_heads,
         ff_mult=cfg.dit_ff_mult, n_mels=cfg.n_mels, text_dim=cfg.text_dim,

@@ -309,7 +309,13 @@ def dit_forward_embedded(
                 axis=cfg.seq_axis,
                 batch_axis=cfg.seq_batch_axis,
             ).reshape(b, n, heads * hd)
-        elif cfg.use_pallas:
+        elif cfg.use_pallas and hd % 128 == 0 and n % 8 == 0:
+            # Mosaic tiling needs the lane dim (head_dim) in 128-multiples
+            # and the sublane dim (frames) in 8-multiples; shapes outside
+            # that (e.g. a 64-head-dim converted F5 model, or the golden
+            # harness's un-bucketed frame counts) take the XLA path below,
+            # which XLA fuses well enough that correctness never depends on
+            # the kernel.
             from ..ops.pallas.fused_rope_attention import fused_qkv_rope_attention
 
             attn = fused_qkv_rope_attention(qkv, cos, sin, mask, heads)

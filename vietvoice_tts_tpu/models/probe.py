@@ -118,7 +118,12 @@ def _looks_like_window(a) -> bool:
         return False
     if a.min() < -1e-6 or a.max() > 1.0 + 1e-6:
         return False
-    if not np.allclose(a, a[::-1], atol=1e-4):
+    # Symmetric about the midpoint; a *periodic* window (hann(N+1)[:-1])
+    # drops the last sample, so compare excluding index 0.
+    if not (
+        np.allclose(a, a[::-1], atol=1e-4)
+        or np.allclose(a[1:], a[1:][::-1], atol=1e-4)
+    ):
         return False
     mid = a[a.size // 4 : -a.size // 4].mean()
     edge = (a[: a.size // 8].mean() + a[-a.size // 8 :].mean()) / 2
@@ -185,12 +190,37 @@ def infer_architecture(models: Dict[str, OnnxModel]) -> dict:
                 d = _last_static_dim(v)
                 if d:
                     _record(raw, "n_mels", d, f"preprocess output {v.name}")
+        # Text-embedding ConvNeXt stack depth: the preprocess graph's only
+        # layer-indexed weight family.
+        import re as _re2
+
+        tfam: Dict[str, set] = {}
+        for name in g.initializers:
+            m = _re2.search(r"\.(\d+)\.", name)
+            if m:
+                tfam.setdefault(
+                    name[: m.start()] + ".#." + name[m.end():], set()
+                ).add(int(m.group(1)))
+        tsizes = [
+            len(idxs)
+            for idxs in tfam.values()
+            if len(idxs) >= 2 and idxs == set(range(len(idxs)))
+        ]
+        if tsizes:
+            _record(
+                raw, "text_conv_layers", max(tsizes),
+                "preprocess: deepest layer-index family",
+            )
         for node in g.nodes:
             if node.op_type == "Gather" and node.inputs:
                 data = node.inputs[0]
                 t = g.initializers.get(data)
                 if t is not None and len(t.dims) == 2:
-                    _record(raw, "vocab_size", t.dims[0], f"preprocess Gather {data}")
+                    # Row count is the embedding-table size, which may be
+                    # vocab_size or vocab_size+1 (filler row) depending on
+                    # export convention — recorded as evidence, reconciled
+                    # against vocab.txt by the converter.
+                    _record(raw, "embedding_rows", t.dims[0], f"preprocess Gather {data}")
                     _record(raw, "text_dim", t.dims[1], f"preprocess Gather {data}")
 
     tr = models.get("transformer")
@@ -252,6 +282,51 @@ def infer_architecture(models: Dict[str, OnnxModel]) -> dict:
                 d = _last_static_dim(v)
                 if d and d > 1:
                     _record(raw, "n_mels", d, f"decode input {v.name}")
+        # Vocoder trunk width: modal 1-D float-initializer length (norms,
+        # biases, LayerScale gammas are all [dim]).
+        vlen: Dict[int, int] = {}
+        for t in g.initializers.values():
+            if len(t.dims) == 1 and t.data_type == 1 and t.dims[0] >= 32:
+                vlen[t.dims[0]] = vlen.get(t.dims[0], 0) + 1
+        vdim = None
+        if vlen:
+            vdim = max(vlen.items(), key=lambda kv: kv[1])[0]
+            _record(
+                raw, "vocoder_dim", vdim,
+                f"decode: modal 1-D initializer length ×{vlen[vdim]}",
+            )
+        # Trunk depth: deepest contiguous layer-index family.
+        import re as _re
+
+        vfam: Dict[str, set] = {}
+        for name in g.initializers:
+            m = _re.search(r"\.(\d+)\.", name)
+            if m:
+                vfam.setdefault(
+                    name[: m.start()] + ".#." + name[m.end():], set()
+                ).add(int(m.group(1)))
+        vsizes = [
+            len(idxs)
+            for idxs in vfam.values()
+            if len(idxs) >= 2 and idxs == set(range(len(idxs)))
+        ]
+        if vsizes:
+            _record(raw, "vocoder_layers", max(vsizes), "decode: deepest layer-index family")
+        # FFN width: the most common partner dim of [*, dim]/[dim, *] 2-D
+        # weights (pw1/pw2 appear twice per layer; the head only once).
+        if vdim is not None:
+            partner: Dict[int, int] = {}
+            for t in g.initializers.values():
+                if len(t.dims) == 2 and vdim in t.dims:
+                    other = t.dims[0] if t.dims[1] == vdim else t.dims[1]
+                    if other != vdim:
+                        partner[other] = partner.get(other, 0) + 1
+            if partner:
+                inter = max(partner.items(), key=lambda kv: kv[1])[0]
+                _record(
+                    raw, "vocoder_intermediate", inter,
+                    f"decode: modal 2-D partner of dim ×{partner[inter]}",
+                )
         for t in g.initializers.values():
             if t.array is not None and _looks_like_window(t.array):
                 _record(raw, "n_fft", int(t.array.size), f"decode window {t.name}")
