@@ -152,30 +152,13 @@ def bench_batched(core, hop: int, sr: int, batch: int, n_frames: int,
     }
 
 
-def bench_rest_serving(api, n_requests: int = 12, concurrency: int = 6) -> dict:
-    """Concurrent requests through the REST app with micro-batching on."""
+def _rest_sweep_point(api, client, n_requests: int, concurrency: int,
+                      max_wait_ms: float) -> dict:
+    """One (concurrency, max_wait) measurement: n_requests through the app."""
     import anyio
 
-    from vietvoice_tts_tpu.api import tts_engine as te
-    import importlib
-
-    app_module = importlib.import_module("vietvoice_tts_tpu.api.app")
-    from vietvoice_tts_tpu.api.asgi import AsyncTestClient
-
-    te._engine = api  # serve through the already-loaded engine
     engine = api.engine
-    # Warm the batch grid at the bucket concurrent short requests land in,
-    # so the timed run never hits a cold XLA compile (persistent cache makes
-    # this once-per-machine).
-    ref_audio, ref_text = engine.model_session_manager.select_sample()
-    ref_int16 = engine.audio_processor.load_audio(ref_audio, engine.config.sample_rate)
-    bucket = engine._plan_chunks(
-        ref_int16.astype(np.float32) / 32768.0, ref_text, SHORT_TEXT
-    )[0].bucket
-    engine.warmup(buckets=(bucket,))
-
-    engine.enable_micro_batching(max_wait_ms=10)
-    client = AsyncTestClient(app_module.app)
+    engine.enable_micro_batching(max_wait_ms=max_wait_ms)
     latencies: list[float] = []
     audio_bytes_total = 0
 
@@ -191,7 +174,7 @@ def bench_rest_serving(api, n_requests: int = 12, concurrency: int = 6) -> dict:
         audio_bytes_total += len(resp.content)
 
     async def drive():
-        await one(-1)  # warm
+        await one(-1)  # warm this batcher instance
         latencies.clear()
         limiter = anyio.CapacityLimiter(concurrency)
 
@@ -206,24 +189,123 @@ def bench_rest_serving(api, n_requests: int = 12, concurrency: int = 6) -> dict:
         return time.perf_counter() - t0
 
     wall = anyio.run(drive)
-    stats = api.engine.batcher.stats
-    api.engine.batcher.shutdown()
-    api.engine.batcher = None
-    te._engine = None
+    stats = engine.batcher.stats
+    engine.batcher.shutdown()
+    engine.batcher = None
     sr = api.config.sample_rate
-    audio_s = (audio_bytes_total - 44 * n_requests) / (sr * 2)
-    p50 = statistics.median(latencies)
-    log(f"[5 rest_serving] {n_requests} reqs @ c={concurrency}: "
-        f"{n_requests / wall:.1f} req/s, p50 {p50 * 1e3:.0f} ms, "
-        f"{audio_s / wall:.1f}x realtime, mean batch {stats.mean_batch_size:.2f}")
-    return {
+    audio_s = (audio_bytes_total - 44 * (n_requests + 1)) / (sr * 2)
+    lat_sorted = sorted(latencies)
+    p50 = statistics.median(lat_sorted)
+    p90 = lat_sorted[max(0, int(len(lat_sorted) * 0.9) - 1)]
+    point = {
         "requests": n_requests,
         "concurrency": concurrency,
+        "max_wait_ms": max_wait_ms,
         "requests_per_s": round(n_requests / wall, 2),
         "p50_latency_ms": round(p50 * 1e3, 1),
+        "p90_latency_ms": round(p90 * 1e3, 1),
         "rtf": round(audio_s / wall, 2),
         "mean_batch_size": round(stats.mean_batch_size, 2),
     }
+    log(f"[5 rest_serving] c={concurrency} wait={max_wait_ms}ms: "
+        f"{point['requests_per_s']} req/s, p50 {point['p50_latency_ms']:.0f} ms, "
+        f"p90 {point['p90_latency_ms']:.0f} ms, {point['rtf']}x realtime, "
+        f"mean batch {point['mean_batch_size']}")
+    return point
+
+
+def bench_latency_breakdown(core, hop: int, n_frames: int = 384) -> dict:
+    """Split the batch-1 latency into H2D / device-compute / D2H.
+
+    Method: (a) full call with numpy inputs = H2D + compute + D2H;
+    (b) call with inputs already device-resident = compute + D2H;
+    (c) async dispatch with device inputs, timing only the fetch = D2H.
+    The tunneled host link makes the transfer legs unusually expensive on
+    this rig — this entry documents how much of the p50 is link, not chip."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    wave = rng.uniform(-0.5, 0.5, (1, n_frames * hop)).astype(np.float32)
+    ref_len = np.array([188], np.int32)
+    total_len = np.array([n_frames], np.int32)
+    text_ids = np.full((1, n_frames), -1, np.int32)
+    text_ids[:, :100] = 7
+    args_np = (
+        np.asarray(wave, core.transfer_dtype),
+        ref_len,
+        text_ids,
+        total_len,
+        np.zeros((1,), np.uint32),
+    )
+    fn = core.chunk_fn(1, n_frames)
+    fn(core.params, *args_np)  # compile + warm
+
+    full_p50, _ = _timed(
+        lambda: np.asarray(jax.device_get(fn(core.params, *args_np))), reps=5
+    )
+    args_dev = [jax.device_put(a) for a in args_np]
+    jax.block_until_ready(args_dev)
+    dev_p50, _ = _timed(
+        lambda: np.asarray(jax.device_get(fn(core.params, *args_dev))), reps=5
+    )
+
+    def fetch_only():
+        out = fn(core.params, *args_dev)
+        jax.block_until_ready(out)  # compute done; timing the copy next
+        t0 = time.perf_counter()
+        jax.device_get(out)
+        return time.perf_counter() - t0
+
+    fetch_only()
+    d2h = statistics.median([fetch_only() for _ in range(5)])
+    h2d = max(full_p50 - dev_p50, 0.0)
+    compute = max(dev_p50 - d2h, 0.0)
+    out = {
+        "frames": n_frames,
+        "full_ms": round(full_p50 * 1e3, 1),
+        "h2d_ms": round(h2d * 1e3, 1),
+        "compute_ms": round(compute * 1e3, 1),
+        "d2h_ms": round(d2h * 1e3, 1),
+    }
+    log(f"[latency_breakdown] b1@{n_frames}: full {out['full_ms']} ms = "
+        f"h2d {out['h2d_ms']} + compute {out['compute_ms']} + d2h {out['d2h_ms']}")
+    return out
+
+
+def bench_rest_serving(api, n_requests: int = 64) -> dict:
+    """Concurrency sweep through the REST app with micro-batching on.
+
+    ≥64 requests per point, p50/p90 reported, saturation at c ∈ {2, 6, 12}
+    plus a max_wait tuning pair at the highest concurrency. The headline
+    entry is the best-RTF point; the full sweep rides along as evidence."""
+    import importlib
+
+    from vietvoice_tts_tpu.api import tts_engine as te
+
+    app_module = importlib.import_module("vietvoice_tts_tpu.api.app")
+    from vietvoice_tts_tpu.api.asgi import AsyncTestClient
+
+    te._engine = api  # serve through the already-loaded engine
+    engine = api.engine
+    # Warm the batch grid at the bucket concurrent short requests land in,
+    # so the timed run never hits a cold XLA compile (persistent cache makes
+    # this once-per-machine).
+    ref_audio, ref_text = engine.model_session_manager.select_sample()
+    ref_int16 = engine.audio_processor.load_audio(ref_audio, engine.config.sample_rate)
+    bucket = engine._plan_chunks(
+        ref_int16.astype(np.float32) / 32768.0, ref_text, SHORT_TEXT
+    )[0].bucket
+    engine.warmup(batches=(1, 2, 4, 8), buckets=(bucket,))
+
+    client = AsyncTestClient(app_module.app)
+    sweep = []
+    for concurrency, wait in ((2, 10.0), (6, 10.0), (12, 10.0), (12, 25.0)):
+        sweep.append(
+            _rest_sweep_point(api, client, n_requests, concurrency, wait)
+        )
+    te._engine = None
+    best = max(sweep, key=lambda p: p["rtf"])
+    return {**best, "sweep": sweep}
 
 
 def main() -> None:
@@ -256,6 +338,7 @@ def main() -> None:
             label="4 batch32",
         )
         configs["rest_serving"] = bench_rest_serving(api)
+        configs["latency_breakdown"] = bench_latency_breakdown(core, hop)
 
     # Headline = best sustained pipelined throughput across batched configs
     # (batch32 @ 512 frames beats batch8 @ 1024 on v5e: more rows per MXU
