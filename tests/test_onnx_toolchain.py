@@ -284,3 +284,39 @@ class TestFullFixtureConversion:
         mgr.load_models()
         assert mgr.is_synthetic is False
         assert mgr.vocab_size == len(vocab_chars)
+
+
+class TestArchitectureConflicts:
+    """infer_architecture must refuse to guess when evidence disagrees."""
+
+    def _model_with_rope_dims(self, d1, d2):
+        outs = [
+            ox.make_value_info(f"rope_cos_q", 1, [1, "N", d1]),
+            ox.make_value_info(f"rope_sin_q", 1, [1, "N", d1]),
+            ox.make_value_info(f"rope_cos_k", 1, [1, "N", d2]),
+            ox.make_value_info(f"rope_sin_k", 1, [1, "N", d2]),
+        ]
+        graph = ox.make_graph("preprocess", [], [], [], outs)
+        return ox.parse_model(ox.make_model(graph))
+
+    def test_disagreeing_rope_dims_is_conflict(self):
+        from vietvoice_tts_tpu.models.probe import infer_architecture
+
+        arch = infer_architecture({"preprocess": self._model_with_rope_dims(64, 128)})
+        assert "head_dim" in arch["conflicts"]
+        assert "head_dim" not in arch["facts"]
+
+    def test_conflict_blocks_conversion(self):
+        from vietvoice_tts_tpu.models.convert import apply_probed_architecture
+        from vietvoice_tts_tpu.models.probe import infer_architecture
+
+        arch = infer_architecture({"preprocess": self._model_with_rope_dims(64, 128)})
+        with pytest.raises(ValueError, match="conflicting"):
+            apply_probed_architecture(None, arch)
+
+    def test_agreeing_rope_dims_is_fact(self):
+        from vietvoice_tts_tpu.models.probe import infer_architecture
+
+        arch = infer_architecture({"preprocess": self._model_with_rope_dims(64, 64)})
+        assert arch["facts"]["head_dim"] == 64
+        assert arch["conflicts"] == {}
