@@ -406,3 +406,49 @@ class TestSyntheticPackPolicy:
         from vietvoice_tts_tpu.config import ModelConfig
 
         assert ModelConfig().allow_synthetic_pack is True
+
+
+class TestMetrics:
+    """Prometheus text exposition at GET /metrics (the reference lists
+    Prometheus as unimplemented future work, README.md:185)."""
+
+    def test_metrics_without_engine(self, client):
+        resp = run(client.get("/metrics"))
+        assert resp.status_code == 200
+        text = resp.content.decode()
+        assert "vietvoice_uptime_seconds" in text
+        assert "vietvoice_engine_loaded 0" in text
+        # Exposition-format sanity: every sample line's metric is typed.
+        typed = {
+            line.split()[2]
+            for line in text.splitlines()
+            if line.startswith("# TYPE")
+        }
+        samples = [
+            line for line in text.splitlines() if line and not line.startswith("#")
+        ]
+        for s in samples:
+            name = s.split("{")[0].split()[0]
+            assert name in typed, s
+
+    def test_metrics_with_engine_and_batcher(self, tiny_pack_dir):
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            resp = run(
+                client.post("/api/v1/synthesize", json={"text": "xin chào", "speed": 0.9})
+            )
+            assert resp.status_code in (200, 201)
+            te._engine.engine.enable_micro_batching()
+            text = run(client.get("/metrics")).content.decode()
+            assert "vietvoice_engine_loaded 1" in text
+            assert 'vietvoice_stage_seconds_total{stage=' in text
+            assert "vietvoice_batcher_healthy 1" in text
+        finally:
+            te.reset_engine()
+            te._engine_config = old_cfg

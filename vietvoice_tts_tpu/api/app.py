@@ -19,7 +19,7 @@ from typing import Any, Dict
 from uuid import uuid4
 
 from ..utils.logging import get_logger
-from .asgi import App, File, NotFoundException, Stream
+from .asgi import App, File, NotFoundException, Response, Stream
 from .schemas import (
     HealthResponse,
     StatsResponse,
@@ -129,6 +129,62 @@ async def stats() -> StatsResponse:
         stage_seconds={k: round(v, 3) for k, v in stage.items()},
         batcher=batcher,
         hbm=device_memory_stats() or None,
+    )
+
+
+@app.get("/metrics")
+async def metrics() -> Response:
+    """Prometheus text exposition of the serving counters.
+
+    The reference lists Prometheus metrics as unimplemented future work
+    (``/root/reference/README.md:185``); here the same numbers `/api/v1/stats`
+    reports are exposed in the scrape format so a standard Prometheus +
+    alerting stack works against the server with zero adapters."""
+    from ..utils.profiling import device_memory_stats
+    from . import tts_engine as te
+
+    lines = [
+        "# HELP vietvoice_uptime_seconds Server uptime.",
+        "# TYPE vietvoice_uptime_seconds gauge",
+        f"vietvoice_uptime_seconds {monotonic() - _server_start_time:.1f}",
+    ]
+
+    def counter(name: str, help_text: str, value) -> None:
+        lines.append(f"# HELP vietvoice_{name} {help_text}")
+        kind = "counter" if name.endswith("_total") else "gauge"
+        lines.append(f"# TYPE vietvoice_{name} {kind}")
+        lines.append(f"vietvoice_{name} {value}")
+
+    engine_loaded = te._engine is not None and te._engine._engine is not None
+    counter("engine_loaded", "1 when the model is resident.", int(engine_loaded))
+    if engine_loaded:
+        engine = te._engine._engine
+        stages = engine.engine_core.timer.report()
+        if stages:
+            lines.append(
+                "# HELP vietvoice_stage_seconds_total Cumulative seconds per pipeline stage."
+            )
+            lines.append("# TYPE vietvoice_stage_seconds_total counter")
+            for stage, seconds in stages.items():
+                lines.append(
+                    f'vietvoice_stage_seconds_total{{stage="{stage}"}} {seconds:.3f}'
+                )
+        b = engine.batcher
+        if b is not None:
+            s = b.stats
+            counter("batches_total", "Dispatched device batches.", s.batches)
+            counter("batch_jobs_total", "Jobs served through batches.", s.jobs)
+            counter("batch_padded_rows_total", "Padding rows dispatched.", s.padded_rows)
+            counter("batch_retries_total", "Jobs re-queued after batch errors.", s.retries)
+            counter("batch_failures_total", "Jobs failed after retries.", s.failures)
+            counter("batcher_healthy", "1 when both worker threads live.", int(b.healthy))
+        hbm = device_memory_stats()
+        if hbm:
+            for k, v in hbm.items():
+                if isinstance(v, (int, float)):
+                    counter(f"hbm_{k}", f"Device memory stat {k}.", v)
+    return Response(
+        "\n".join(lines) + "\n", media_type="text/plain; version=0.0.4"
     )
 
 
