@@ -176,3 +176,39 @@ class TestSessionSurface:
         # run with default (graph-declared) outputs
         out = s.run(None, {"x": np.float32([5.0])})
         np.testing.assert_array_equal(out[0], [5.0])
+
+
+class TestExtendedOps:
+    """Ops the real F5 export plausibly contains beyond the fixture's set."""
+
+    def test_einsum(self):
+        a = np.random.default_rng(2).standard_normal((2, 3, 4)).astype(np.float32)
+        b = np.random.default_rng(3).standard_normal((4, 5)).astype(np.float32)
+        y = _run1("Einsum", {"a": a, "b": b}, equation="bnd,df->bnf")
+        np.testing.assert_allclose(y, np.einsum("bnd,df->bnf", a, b), rtol=1e-5)
+
+    def test_reduce_sum_max(self):
+        x = np.arange(12, dtype=np.float32).reshape(3, 4)
+        y = _run1("ReduceSum", {"x": x}, axes=[1], keepdims=0)
+        np.testing.assert_array_equal(y, x.sum(1))
+        y = _run1("ReduceMax", {"x": x}, axes=[0], keepdims=1)
+        np.testing.assert_array_equal(y, x.max(0, keepdims=True))
+
+    def test_trilu_mask(self):
+        x = np.ones((4, 4), np.float32)
+        np.testing.assert_array_equal(_run1("Trilu", {"x": x}, upper=1), np.triu(x))
+        np.testing.assert_array_equal(_run1("Trilu", {"x": x}, upper=0), np.tril(x))
+
+    def test_comparisons_and_logic(self):
+        a = np.float32([1, 2, 3])
+        b = np.float32([2, 2, 2])
+        np.testing.assert_array_equal(_run1("LessOrEqual", {"a": a, "b": b}), a <= b)
+        m1 = a > b
+        m2 = a < b
+        np.testing.assert_array_equal(_run1("Or", {"a": m1, "b": m2}), m1 | m2)
+        np.testing.assert_array_equal(_run1("Not", {"a": m1}), ~m1)
+
+    def test_floor_mod_sign(self):
+        a = np.float32([-1.5, 0.5, 2.5])
+        np.testing.assert_array_equal(_run1("Floor", {"a": a}), np.floor(a))
+        np.testing.assert_array_equal(_run1("Sign", {"a": a}), np.sign(a))

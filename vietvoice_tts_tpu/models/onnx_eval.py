@@ -92,7 +92,17 @@ for _name, _fn in {
     "Min": lambda *xs: __import__("functools").reduce(np.minimum, xs),
     "Less": lambda a, b: a < b,
     "Greater": lambda a, b: a > b,
+    "LessOrEqual": lambda a, b: a <= b,
+    "GreaterOrEqual": lambda a, b: a >= b,
     "Equal": lambda a, b: a == b,
+    "Not": lambda a: ~a,
+    "And": lambda a, b: a & b,
+    "Or": lambda a, b: a | b,
+    "Floor": np.floor,
+    "Ceil": np.ceil,
+    "Round": lambda a: np.round(a),
+    "Sign": np.sign,
+    "Mod": lambda a, b: np.fmod(a, b),
     "Erf": None,  # filled below (vectorized via math.erf)
 }.items():
     if _fn is not None:
@@ -189,14 +199,44 @@ def _layernorm(node, x):
     return [y.astype(x[0].dtype)]
 
 
-@_op("ReduceMean")
-def _reduce_mean(node, x):
-    axes = node.attrs.get("axes")
-    if axes is None and len(x) > 1 and x[1] is not None:
-        axes = [int(v) for v in x[1]]
-    keep = bool(node.attrs.get("keepdims", 1))
-    axes_t = tuple(axes) if axes else None
-    return [x[0].mean(axis=axes_t, keepdims=keep)]
+def _reduce(fn):
+    def op(node, x):
+        axes = node.attrs.get("axes")
+        if axes is None and len(x) > 1 and x[1] is not None:
+            axes = [int(v) for v in x[1]]
+        keep = bool(node.attrs.get("keepdims", 1))
+        axes_t = tuple(axes) if axes else None
+        return [fn(x[0], axes_t, keep)]
+
+    return op
+
+
+_OPS["ReduceMean"] = _reduce(lambda a, ax, k: a.mean(axis=ax, keepdims=k))
+_OPS["ReduceSum"] = _reduce(lambda a, ax, k: a.sum(axis=ax, keepdims=k))
+_OPS["ReduceMax"] = _reduce(lambda a, ax, k: a.max(axis=ax, keepdims=k))
+_OPS["ReduceMin"] = _reduce(lambda a, ax, k: a.min(axis=ax, keepdims=k))
+
+
+@_op("Einsum")
+def _einsum(node, x):
+    eq = node.attrs.get("equation")
+    eq = eq.decode() if isinstance(eq, bytes) else eq
+    return [np.einsum(eq, *[a for a in x if a is not None], optimize=True)]
+
+
+@_op("Trilu")
+def _trilu(node, x):
+    k = int(x[1]) if len(x) > 1 and x[1] is not None else 0
+    upper = bool(node.attrs.get("upper", 1))
+    return [np.triu(x[0], k) if upper else np.tril(x[0], k)]
+
+
+@_op("CumSum")
+def _cumsum(node, x):
+    axis = int(x[1]) if len(x) > 1 and x[1] is not None else 0
+    if node.attrs.get("exclusive") or node.attrs.get("reverse"):
+        raise UnsupportedOp("CumSum: exclusive/reverse")
+    return [np.cumsum(x[0], axis=axis)]
 
 
 @_op("Transpose")
