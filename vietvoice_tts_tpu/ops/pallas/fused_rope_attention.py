@@ -18,6 +18,16 @@ HBM-traffic design (vs ``flash_attention.py``):
 Requires qkv packed as [q_heads ‖ k_heads ‖ v_heads] along the feature dim,
 which is exactly how ``models/dit.py`` lays out its fused QKV weight.
 
+Applicability: head_dim must be a 128 multiple (Mosaic lane tiling) and the
+frame count an 8 multiple; ``models/dit.py`` falls back to the XLA path
+otherwise. A converted F5 model (16 heads × head_dim 64) therefore runs the
+XLA path today. If that ever shows up as the bottleneck, the extension is:
+grid over head PAIRS with 128-wide (2·64) column blocks, split each block
+into two 64-lane halves inside the kernel, and run two dot/softmax/PV
+pipelines per cell — same total VPU work, MXU dots at half lane width
+(exactly what XLA does for d=64, so the win stays the fused RoPE + zero
+layout changes, not the MXU).
+
 Roofline (measured at serving shapes, B=16 H=8 N=1024 D=128, v5e):
 the kernel costs ~0.52 ms/call = ~11.5 ms per CFG-doubled DiT step (23% of
 the step). The MXU dots are ~0.7 µs/cell; the cost is the exact-softmax VPU
