@@ -108,3 +108,20 @@ class TestReferenceAudioValidation:
     def test_missing_file_is_false(self):
         cfg = ModelConfig()
         assert cfg.validate_with_reference_audio("/nope.wav") is False
+
+
+class TestLatencyBuckets:
+    """Round-3: finer 384/768 buckets cut the latency path's padding waste
+    (a ~350-frame short sentence pays 9% padding instead of 45%)."""
+
+    def test_default_grid_contains_fine_buckets(self):
+        cfg = ModelConfig()
+        assert 384 in cfg.frame_buckets
+        assert 768 in cfg.frame_buckets
+
+    def test_typical_shapes_land_in_fine_buckets(self):
+        cfg = ModelConfig()
+        assert cfg.frame_bucket_for(352) == 384   # short sentence + default ref
+        assert cfg.frame_bucket_for(452) == 512   # voice clone, 3 s ref
+        assert cfg.frame_bucket_for(662) == 768   # voice clone, longer target
+        assert cfg.frame_bucket_for(2600) == 2048  # clamps to max
