@@ -203,3 +203,85 @@ class TestDepthwiseConvRewrite:
             )
         )
         np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+class TestFusedRopeAttentionInterpret:
+    """Pallas fused-attention logic via the interpreter (runs on CPU).
+
+    The real-TPU parity tests live in test_pallas_tpu.py; these cover the
+    kernel's indexing/RoPE logic — in particular the head-PAIR path used by
+    converted F5 models (head_dim 64) — in the default CPU suite."""
+
+    def _reference(self, qkv, cos, sin, mask, heads):
+        B, N, three_hd = qkv.shape
+        D = three_hd // (3 * heads)
+        r = qkv.reshape(B, N, 3, heads, D)
+        q = jnp.moveaxis(jnp.asarray(r[:, :, 0]), 1, 2)
+        k = jnp.moveaxis(jnp.asarray(r[:, :, 1]), 1, 2)
+        v = jnp.moveaxis(jnp.asarray(r[:, :, 2]), 1, 2)
+        out = attention(
+            apply_rope(q, cos, sin), apply_rope(k, cos, sin), v,
+            jnp.asarray(mask), use_pallas=False,
+        )
+        return np.moveaxis(np.asarray(out), 1, 2).reshape(B, N, heads * D)
+
+    @pytest.mark.parametrize("heads,head_dim", [(2, 128), (4, 64)])
+    def test_matches_xla_path(self, heads, head_dim):
+        from vietvoice_tts_tpu.ops.pallas.fused_rope_attention import (
+            fused_qkv_rope_attention,
+        )
+
+        B, N = 2, 128
+        rng = np.random.default_rng(0)
+        qkv = rng.standard_normal((B, N, 3 * heads * head_dim)).astype(np.float32)
+        mask = np.arange(N)[None, :] < np.array([N - 40, N])[:B, None]
+        cos, sin = rope_tables(N, head_dim)
+        out = np.asarray(
+            fused_qkv_rope_attention(
+                jnp.asarray(qkv), jnp.asarray(cos), jnp.asarray(sin),
+                jnp.asarray(mask), heads=heads, interpret=True,
+            )
+        )
+        ref = self._reference(qkv, cos, sin, mask, heads)
+        assert np.abs(out - ref)[:, : N - 40].max() < 5e-3
+
+    def test_unsupported_shape_raises(self):
+        from vietvoice_tts_tpu.ops.pallas.fused_rope_attention import (
+            fused_qkv_rope_attention,
+        )
+
+        qkv = jnp.zeros((1, 128, 3 * 3 * 64), jnp.float32)  # 3 heads of 64
+        cos, sin = rope_tables(128, 64)
+        with pytest.raises(ValueError, match="head_dim"):
+            fused_qkv_rope_attention(qkv, cos, sin, None, heads=3, interpret=True)
+
+    def test_supports_shape(self):
+        from vietvoice_tts_tpu.ops.pallas.fused_rope_attention import supports_shape
+
+        assert supports_shape(8, 128, 512)
+        assert supports_shape(16, 64, 512)  # converted F5 shape
+        assert not supports_shape(3, 64, 512)
+        assert not supports_shape(8, 96, 512)
+        assert not supports_shape(16, 64, 500)  # frames not 8-multiple
+
+    def test_bucket_768_block_q(self):
+        """Regression: n=768 isn't divisible by the default block_q=512; the
+        kernel must halve to a dividing block size instead of raising (this
+        crashed voice_clone synthesis when the 768 frame bucket landed)."""
+        from vietvoice_tts_tpu.ops.pallas.fused_rope_attention import (
+            fused_qkv_rope_attention,
+        )
+
+        heads, head_dim, B, N = 2, 128, 1, 768
+        rng = np.random.default_rng(1)
+        qkv = rng.standard_normal((B, N, 3 * heads * head_dim)).astype(np.float32)
+        mask = np.arange(N)[None, :] < np.array([700])[:, None]
+        cos, sin = rope_tables(N, head_dim)
+        out = np.asarray(
+            fused_qkv_rope_attention(
+                jnp.asarray(qkv), jnp.asarray(cos), jnp.asarray(sin),
+                jnp.asarray(mask), heads=heads, interpret=True,
+            )
+        )
+        ref = self._reference(qkv, cos, sin, mask, heads)
+        assert np.abs(out - ref)[:, :700].max() < 5e-3

@@ -77,6 +77,42 @@ class TestFusedQkvRopeAttention:
         ).reshape(B, N, H * D)
         assert np.abs(out - ref)[:, : N - 100].max() < 5e-3
 
+    def test_head_pair_path_f5_shape(self):
+        """The converted-F5 attention shape: 16 heads × head_dim 64.
+
+        Exercises the head-PAIR grid (128-wide column blocks, two 64-lane
+        pipelines per cell) on real Mosaic lowering."""
+        from vietvoice_tts_tpu.ops.attention import attention
+        from vietvoice_tts_tpu.ops.pallas.fused_rope_attention import (
+            fused_qkv_rope_attention,
+        )
+        from vietvoice_tts_tpu.ops.rope import apply_rope, rope_tables
+
+        B, N, H, D = 2, 512, 16, 64
+        qkv, mask = _data(B, N, H, D)
+        cos, sin = rope_tables(N, D)
+        out = np.asarray(
+            fused_qkv_rope_attention(
+                jnp.asarray(qkv), jnp.asarray(cos), jnp.asarray(sin),
+                jnp.asarray(mask), heads=H,
+            )
+        )
+        r = qkv.reshape(B, N, 3, H, D)
+        q = jnp.moveaxis(jnp.asarray(r[:, :, 0]), 1, 2)
+        k = jnp.moveaxis(jnp.asarray(r[:, :, 1]), 1, 2)
+        v = jnp.moveaxis(jnp.asarray(r[:, :, 2]), 1, 2)
+        ref = np.moveaxis(
+            np.asarray(
+                attention(
+                    apply_rope(q, cos, sin), apply_rope(k, cos, sin), v,
+                    jnp.asarray(mask), use_pallas=False,
+                )
+            ),
+            1,
+            2,
+        ).reshape(B, N, H * D)
+        assert np.abs(out - ref)[:, : N - 100].max() < 5e-3
+
 
 if __name__ == "__main__":
     import sys

@@ -35,6 +35,13 @@ class ModelConfig:
     # ---- Sampling / synthesis settings (reference-compatible) ----
     nfe_step: int = 32
     fuse_nfe: int = 1
+    # CFG-cache acceleration (training-free, opt-in, beyond-reference): the
+    # unconditional branch of classifier-free guidance drifts slowly along
+    # the ODE path, so refresh it only every k-th velocity eval and reuse
+    # the cached uncond velocity in between. 1 = exact (reference parity);
+    # 2 cuts DiT compute ~25%. Quality impact must be judged on real
+    # weights — keep 1 until then.
+    nfe_uncond_interval: int = 1
     sample_rate: int = 24000
     speed: float = 0.9
     random_seed: int = DETERMINISTIC_SEED
@@ -84,11 +91,14 @@ class ModelConfig:
     param_dtype: str = "float32"  # master parameter dtype on HBM
     # Static mel-frame buckets: every chunk is padded up to one of these so
     # XLA compiles a bounded set of programs (no dynamic shapes on TPU).
-    # The 384/768 steps cut the latency path's padding waste (a typical
-    # short sentence is ~350 frames: 8% padding at 384 vs 31% at 512; a
-    # voice-clone request is ~600: 768 vs 1024), at the cost of two more
-    # compiles per batch size — amortized by the persistent XLA cache.
-    frame_buckets: tuple[int, ...] = (256, 384, 512, 768, 1024, 2048)
+    # The fine 64-multiple steps through the latency band (384–768) bound
+    # padding waste at ≤17% where single requests land (a short sentence is
+    # ~350–450 frames, a voice-clone request ~450–700) — at batch 1 the DiT
+    # step cost scales almost linearly with the bucket, so padding waste is
+    # latency waste. Above 768 traffic is batched long-text chunks where
+    # per-row padding amortizes. Each bucket is one more XLA compile per
+    # batch size — amortized by the persistent compile cache.
+    frame_buckets: tuple[int, ...] = (256, 384, 448, 512, 576, 640, 768, 1024, 2048)
     text_buckets: tuple[int, ...] = (128, 256, 512, 1024)
     max_batch_size: int = 8
     use_pallas: bool = True  # fused Pallas kernels where available (TPU only)
@@ -129,6 +139,8 @@ class ModelConfig:
             raise ValueError("Speed must be between 0.1 and 5.0")
         if not 1 <= self.nfe_step <= 100:
             raise ValueError("NFE step must be between 1 and 100")
+        if not 1 <= self.nfe_uncond_interval <= 8:
+            raise ValueError("nfe_uncond_interval must be between 1 and 8")
         if self.dit_dim % self.dit_heads != 0:
             raise ValueError("dit_dim must be divisible by dit_heads")
         if self.n_fft % self.hop_length != 0:

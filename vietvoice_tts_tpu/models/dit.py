@@ -165,6 +165,12 @@ def init_dit_params(seed, cfg: DiTConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _pallas_supports(heads: int, head_dim: int, n: int) -> bool:
+    from ..ops.pallas.fused_rope_attention import supports_shape
+
+    return supports_shape(heads, head_dim, n)
+
+
 def _layernorm(x: jnp.ndarray) -> jnp.ndarray:
     """Non-affine LayerNorm in f32 (AdaLN supplies scale/shift)."""
     x32 = x.astype(jnp.float32)
@@ -309,10 +315,11 @@ def dit_forward_embedded(
                 axis=cfg.seq_axis,
                 batch_axis=cfg.seq_batch_axis,
             ).reshape(b, n, heads * hd)
-        elif cfg.use_pallas and hd % 128 == 0 and n % 8 == 0:
-            # Mosaic tiling needs the lane dim (head_dim) in 128-multiples
-            # and the sublane dim (frames) in 8-multiples; shapes outside
-            # that (e.g. a 64-head-dim converted F5 model, or the golden
+        elif cfg.use_pallas and _pallas_supports(heads, hd, n):
+            # The kernel covers head_dim 128-multiples (one head per grid
+            # cell) and the converted-F5 shape head_dim 64 × even heads
+            # (head-pair cells); frames must be an 8-multiple (Mosaic
+            # sublane tiling). Shapes outside that (e.g. the golden
             # harness's un-bucketed frame counts) take the XLA path below,
             # which XLA fuses well enough that correctness never depends on
             # the kernel.

@@ -103,6 +103,7 @@ class EngineCore:
             fuse_nfe=config.fuse_nfe,
             cfg_strength=config.cfg_strength,
             sway_sampling_coef=config.sway_sampling_coef,
+            uncond_interval=config.nfe_uncond_interval,
         )
         self.frontend = MelFrontend(
             sample_rate=config.sample_rate,
@@ -123,8 +124,15 @@ class EngineCore:
     # Leaves whose enclosing module is pure matmul work; placing them
     # directly in compute_dtype removes a 1 GB/step f32→bf16 convert pass
     # (the forward casts with .astype(compute_dtype) at every use).
+    # "ada"/"final_ada" (the AdaLN-Zero modulation projections) are matmul
+    # weights too: at batch 1 the DiT step is partly weight-READ-bound, and
+    # the ada stack alone is 553 MB/step in f32 (1024×6144 × 22 blocks) —
+    # ~13 ms of pure HBM traffic across 31 NFE steps. The product
+    # t_emb @ ada still accumulates f32 (t_emb stays f32), so only the
+    # stored weights are rounded; norm/scale math stays f32.
     _MATMUL_KEYS = frozenset(
-        {"qkv", "attn_out", "ff1", "ff2", "input_proj", "pw1", "pw2", "conv_pos"}
+        {"qkv", "attn_out", "ff1", "ff2", "input_proj", "pw1", "pw2",
+         "conv_pos", "ada", "final_ada"}
     )
 
     def _inference_dtype_policy(self, params):
