@@ -35,6 +35,11 @@ class SamplerConfig:
     fuse_nfe: int = 1
     cfg_strength: float = 2.0
     sway_sampling_coef: float = -1.0
+    # CFG caching (opt-in): refresh the unconditional velocity only every
+    # k-th eval; between refreshes the cond-only forward runs at batch B
+    # instead of the CFG-doubled 2B and reuses the cached uncond velocity.
+    # 1 = exact reference semantics.
+    uncond_interval: int = 1
 
 
 def sway_time_grid(cfg: SamplerConfig) -> jnp.ndarray:
@@ -91,16 +96,58 @@ def flow_matching_sample(
     t_grid = sway_time_grid(cfg)
     t_starts, dts = t_grid[:-1], jnp.diff(t_grid)
 
-    def euler_step(x, t_dt):
-        t_cur, dt = t_dt
+    def cfg_combine(v_cond, v_uncond):
+        return v_cond + cfg.cfg_strength * (v_cond - v_uncond)
+
+    def full_eval(x, t_cur):
+        """CFG-doubled forward → (v_cond, v_uncond)."""
         x2 = jnp.concatenate([x, x], axis=0)
         tb = jnp.full((2 * b,), t_cur, jnp.float32)
         v2 = dit_forward_embedded(params, dit_cfg, x2, cond2, text_emb2, tb, mask2)
-        v_cond, v_uncond = v2[:b], v2[b:]
-        v = v_cond + cfg.cfg_strength * (v_cond - v_uncond)
-        return x + dt * v, None
+        return v2[:b], v2[b:]
 
-    x, _ = jax.lax.scan(
-        euler_step, x, (t_starts, dts), unroll=max(1, cfg.fuse_nfe)
-    )
+    k = max(1, cfg.uncond_interval)
+    if k == 1:
+
+        def euler_step(x, t_dt):
+            t_cur, dt = t_dt
+            v_cond, v_uncond = full_eval(x, t_cur)
+            return x + dt * cfg_combine(v_cond, v_uncond), None
+
+        x, _ = jax.lax.scan(
+            euler_step, x, (t_starts, dts), unroll=max(1, cfg.fuse_nfe)
+        )
+        return x
+
+    # CFG caching: scan over segments of k evals. Each segment refreshes
+    # the uncond velocity with one CFG-doubled forward, then runs k−1
+    # cond-only forwards (batch B, not 2B) against the cached uncond —
+    # cutting DiT compute by (k−1)/(2k). The eval count is padded up to a
+    # whole number of segments with dt=0 steps (x += 0·v, an identity).
+    n_evals = int(t_starts.shape[0])
+    n_seg = -(-n_evals // k)
+    pad = n_seg * k - n_evals
+    t_seg = jnp.pad(t_starts, (0, pad)).reshape(n_seg, k)
+    dt_seg = jnp.pad(dts, (0, pad)).reshape(n_seg, k)
+    cond1 = cond2[:b]
+    text_emb1 = text_emb2[:b]
+
+    def cond_eval(x, t_cur):
+        tb = jnp.full((b,), t_cur, jnp.float32)
+        return dit_forward_embedded(params, dit_cfg, x, cond1, text_emb1, tb, mask)
+
+    def segment(x, seg):
+        ts, dtss = seg
+        v_cond, v_uncond = full_eval(x, ts[0])
+        x = x + dtss[0] * cfg_combine(v_cond, v_uncond)
+
+        def inner(x, t_dt):
+            t_cur, dt = t_dt
+            v_c = cond_eval(x, t_cur)
+            return x + dt * cfg_combine(v_c, v_uncond), None
+
+        x, _ = jax.lax.scan(inner, x, (ts[1:], dtss[1:]))
+        return x, None
+
+    x, _ = jax.lax.scan(segment, x, (t_seg, dt_seg))
     return x
