@@ -260,15 +260,25 @@ def bench_latency_breakdown(core, hop: int, n_frames: int = 384) -> dict:
     d2h = statistics.median([fetch_only() for _ in range(5)])
     h2d = max(full_p50 - dev_p50, 0.0)
     compute = max(dev_p50 - d2h, 0.0)
+    # The serving path: voice-conditioning cache resident on device, so the
+    # waveform H2D disappears (only text ids + lengths cross the link).
+    def cached_call():
+        return core.synthesize_batch(wave, ref_len, text_ids, total_len)
+
+    cached_call()  # compile cond program + populate the cache
+    cond_p50, _ = _timed(cached_call, reps=5)
+
     out = {
         "frames": n_frames,
         "full_ms": round(full_p50 * 1e3, 1),
         "h2d_ms": round(h2d * 1e3, 1),
         "compute_ms": round(compute * 1e3, 1),
         "d2h_ms": round(d2h * 1e3, 1),
+        "cond_cached_full_ms": round(cond_p50 * 1e3, 1),
     }
     log(f"[latency_breakdown] b1@{n_frames}: full {out['full_ms']} ms = "
-        f"h2d {out['h2d_ms']} + compute {out['compute_ms']} + d2h {out['d2h_ms']}")
+        f"h2d {out['h2d_ms']} + compute {out['compute_ms']} + d2h {out['d2h_ms']}"
+        f"; cond-cached full {out['cond_cached_full_ms']} ms")
     return out
 
 
@@ -287,13 +297,15 @@ def bench_rest_serving(api, n_requests: int = 64) -> dict:
 
     te._engine = api  # serve through the already-loaded engine
     engine = api.engine
-    # Warm the batch grid at the bucket concurrent short requests land in,
-    # so the timed run never hits a cold XLA compile (persistent cache makes
-    # this once-per-machine).
+    # Warm the batch grid at the bucket the sweep's own request text lands
+    # in (NOT SHORT_TEXT's — they differ: 384 vs 448 frames), so the timed
+    # run never hits a cold XLA compile (persistent cache makes this
+    # once-per-machine). A mis-warmed bucket showed up as an 18 s p90.
     ref_audio, ref_text = engine.model_session_manager.select_sample()
     ref_int16 = engine.audio_processor.load_audio(ref_audio, engine.config.sample_rate)
+    sweep_text = "Câu kiểm tra số 1 trong bài đo hiệu năng."
     bucket = engine._plan_chunks(
-        ref_int16.astype(np.float32) / 32768.0, ref_text, SHORT_TEXT
+        ref_int16.astype(np.float32) / 32768.0, ref_text, sweep_text
     )[0].bucket
     engine.warmup(batches=(1, 2, 4, 8), buckets=(bucket,))
 

@@ -449,6 +449,9 @@ class TestMetrics:
             assert "vietvoice_engine_loaded 1" in text
             assert 'vietvoice_stage_seconds_total{stage=' in text
             assert "vietvoice_batcher_healthy 1" in text
+            assert "vietvoice_cond_cache_misses_total" in text
+            stats = run(client.get("/api/v1/stats")).json()
+            assert stats["cond_cache"]["misses"] >= 1  # the synthesize above
         finally:
             te.reset_engine()
             te._engine_config = old_cfg

@@ -288,8 +288,10 @@ class TestWarmupGrid:
 
         tiny_engine.warmup(buckets=(128,))
         cached = set(tiny_engine.engine_core._jit_cache)
+        # The serving path is the cached-conditioning program (the waveform
+        # variant only compiles on cache-ineligible fallback).
         for b in batch_grid(tiny_engine.config.max_batch_size):
-            assert (b, 128) in cached, f"batch {b} not warmed: {cached}"
+            assert (b, 128, True) in cached, f"batch {b} not warmed: {cached}"
 
 
 class TestBatchGridHelpers:

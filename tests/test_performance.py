@@ -36,9 +36,13 @@ class TestMemoryStability:
         core = tiny_engine.engine_core
         for text in ("Ngắn.", "Một câu dài hơn một chút nữa.", "Ba."):
             tiny_engine.synthesize(text)
-        # Cache keys only come from (batch, bucket) combinations.
+        # Cache keys only come from (batch, bucket[, cond_cached])
+        # combinations plus the bounded voice-conditioning helpers.
         buckets = set(tiny_engine.config.frame_buckets)
-        for b, n in core._jit_cache:
+        for key in core._jit_cache:
+            if key[0] == "cond_frontend":
+                continue
+            b, n = key[0], key[1]
             assert n in buckets
             assert 1 <= b <= tiny_engine.config.max_batch_size
 

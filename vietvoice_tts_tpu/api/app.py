@@ -111,10 +111,16 @@ async def stats() -> StatsResponse:
     from ..utils.profiling import device_memory_stats
     from . import tts_engine as te
 
-    stage, batcher = {}, None
+    stage, batcher, cond_cache = {}, None, None
     if te._engine is not None and te._engine._engine is not None:
         engine = te._engine._engine
         stage = engine.engine_core.timer.report()
+        core = engine.engine_core
+        cond_cache = {
+            "hits": core.cond_cache_hits,
+            "misses": core.cond_cache_misses,
+            "entries": len(core._cond_cache),
+        }
         if engine.batcher is not None:
             b = engine.batcher.stats
             batcher = {
@@ -128,6 +134,7 @@ async def stats() -> StatsResponse:
     return StatsResponse(
         stage_seconds={k: round(v, 3) for k, v in stage.items()},
         batcher=batcher,
+        cond_cache=cond_cache,
         hbm=device_memory_stats() or None,
     )
 
@@ -169,6 +176,10 @@ async def metrics() -> Response:
                 lines.append(
                     f'vietvoice_stage_seconds_total{{stage="{stage}"}} {seconds:.3f}'
                 )
+        core = engine.engine_core
+        counter("cond_cache_hits_total", "Voice-conditioning cache hits.", core.cond_cache_hits)
+        counter("cond_cache_misses_total", "Voice-conditioning cache misses.", core.cond_cache_misses)
+        counter("cond_cache_entries", "Voice-conditioning cache entries.", len(core._cond_cache))
         b = engine.batcher
         if b is not None:
             s = b.stats

@@ -87,6 +87,7 @@ class StatsResponse(BaseModel):
 
     stage_seconds: dict = Field(default_factory=dict)
     batcher: Optional[dict] = Field(None)
+    cond_cache: Optional[dict] = Field(None)
     hbm: Optional[dict] = Field(None)
 
 

@@ -109,6 +109,15 @@ class ModelConfig:
     # audio only (synthesis output is unaffected); use float32 when the host
     # link is fast and bit-exact conditioning matters.
     transfer_dtype: str = "float16"
+    # Device-resident voice-conditioning cache: the reference waveform's
+    # log-mel depends only on the voice, not the request, so cache it on the
+    # device keyed by the audio bytes and stop re-sending the waveform over
+    # the (slow, tunneled) host link on every request — the wave H2D is the
+    # largest transfer of the chunk program. Misses pay one frontend
+    # dispatch per new voice; hits send only text ids and lengths.
+    voice_cond_cache: bool = True
+    voice_cond_cache_size: int = 64  # LRU entries (~400 KB HBM each)
+    voice_cond_frames: int = 1024  # cached mel length cap (frames)
     # Serve only packs converted from real weights: when False, loading a
     # pack whose model_meta.json carries "synthetic": true raises instead of
     # serving random-weight noise with HTTP 200.

@@ -60,6 +60,9 @@ class TTSEngine:
             self.model_session_manager.vocab_size,
             mesh=mesh,
         )
+        # Host-side cache of decoded reference audio (int16 @ sample_rate),
+        # keyed by path or content hash — catalog voices are re-selected on
+        # every request and would otherwise re-read + re-parse their WAV.
         self.sample_cache: dict = {}
         # Optional shared micro-batching dispatcher (serving mode). When set,
         # chunks from concurrent requests share padded device batches.
@@ -76,15 +79,32 @@ class TTSEngine:
             )
         return self.batcher
 
-    def warmup(self, batches=None, buckets=None) -> None:
+    def warmup(self, batches=None, buckets=None, trim_classes=None) -> None:
         """Ahead-of-time compile the serving shape grid (call at deploy
         time; the persistent XLA cache makes it once-per-machine).
 
         The default batch grid is exactly the set of padded row counts the
         micro-batcher dispatches (powers of two capped at max_batch_size),
-        so no request-time batch shape pays a cold compile."""
+        so no request-time batch shape pays a cold compile. The default
+        trim classes are {0, default-voice ref floor}: batch-1 programs
+        additionally compile a trimmed-fetch variant matched to the catalog
+        default voice, so single-request latency skips fetching the
+        reference prefix it would discard anyway."""
         batches = batches or self.config.batch_grid()
-        self.engine_core.warmup(batches=batches, buckets=buckets)
+        if trim_classes is None:
+            trim_classes = {0}
+            try:
+                ref_audio, _ = self.model_session_manager.select_sample()
+                ref_int16 = self.audio_processor.load_audio(
+                    ref_audio, self.config.sample_rate
+                )
+                ref_frames = len(ref_int16) // self.config.hop_length + 1
+                trim_classes.add(ref_frames // 64 * 64)
+            except Exception:  # pragma: no cover — warmup stays best-effort
+                log.warning("Could not derive default-voice trim class")
+        self.engine_core.warmup(
+            batches=batches, buckets=buckets, trim_classes=tuple(trim_classes)
+        )
 
     # -- Lifecycle -----------------------------------------------------------
 
@@ -100,6 +120,23 @@ class TTSEngine:
 
     def __exit__(self, exc_type, exc_val, exc_tb):
         self.cleanup()
+
+    def _load_ref(self, ref_audio) -> np.ndarray:
+        """Decoded reference audio (int16 @ sample_rate), cached per voice."""
+        import hashlib
+
+        key = (
+            ref_audio
+            if isinstance(ref_audio, str)
+            else hashlib.sha1(ref_audio).hexdigest()
+        )
+        hit = self.sample_cache.get(key)
+        if hit is None:
+            hit = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
+            if len(self.sample_cache) >= 64:
+                self.sample_cache.clear()
+            self.sample_cache[key] = hit
+        return hit
 
     # -- Input preparation (policy parity with reference :43-131) ------------
 
@@ -247,10 +284,15 @@ class TTSEngine:
         ids, _ = self.text_processor.encode_padded(plan.text, plan.bucket)
         return wave, ids
 
-    def _slice_output(self, plan: ChunkPlan, row: np.ndarray) -> np.ndarray:
-        """Trim the reference prefix + padding from a device int16 row."""
+    def _slice_output(
+        self, plan: ChunkPlan, row: np.ndarray, trimmed: int = 0
+    ) -> np.ndarray:
+        """Trim the reference prefix + padding from a device int16 row.
+
+        ``trimmed`` frames were already dropped on device (EngineCore
+        ``trim_ref_frames``) so the row starts at that frame."""
         hop = self.config.hop_length
-        return row[plan.ref_len * hop : plan.total_len * hop]
+        return row[(plan.ref_len - trimmed) * hop : (plan.total_len - trimmed) * hop]
 
     def _run_chunks_batched(
         self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray
@@ -302,11 +344,13 @@ class TTSEngine:
                     ref_len[row] = p.ref_len
                     total_len[row] = p.total_len
                     seeds[row] = p.index
+                trim = self.engine_core.pick_trim(padded, bucket, ref_len)
                 out = self.engine_core.synthesize_batch(
-                    wave, ref_len, text_ids, total_len, seed=seeds
+                    wave, ref_len, text_ids, total_len, seed=seeds,
+                    trim_ref_frames=trim,
                 )
                 for row, p in enumerate(batch_plans):
-                    results[p.index] = self._slice_output(p, out[row])
+                    results[p.index] = self._slice_output(p, out[row], trim)
 
         return [results[i] for i in sorted(results)]
 
@@ -336,20 +380,24 @@ class TTSEngine:
         inflight: deque = deque()
         for p in plans:
             wave, ids = self._chunk_row(p, ref_audio_f32)
+            trim = self.engine_core.pick_trim(
+                1, p.bucket, np.asarray([p.ref_len], np.int32)
+            )
             fetch = self.engine_core.synthesize_batch_async(
                 wave[None],
                 np.asarray([p.ref_len], np.int32),
                 ids[None],
                 np.asarray([p.total_len], np.int32),
                 seed=np.asarray([p.index], np.uint32),
+                trim_ref_frames=trim,
             )
-            inflight.append((p, fetch))
+            inflight.append((p, fetch, trim))
             if len(inflight) > 2:
-                p0, f0 = inflight.popleft()
-                yield self._slice_output(p0, f0()[0])
+                p0, f0, t0 = inflight.popleft()
+                yield self._slice_output(p0, f0()[0], t0)
         while inflight:
-            p0, f0 = inflight.popleft()
-            yield self._slice_output(p0, f0()[0])
+            p0, f0, t0 = inflight.popleft()
+            yield self._slice_output(p0, f0()[0], t0)
 
     def synthesize_streaming(
         self,
@@ -375,7 +423,7 @@ class TTSEngine:
         ref_audio, ref_text = self.model_session_manager.select_sample(
             gender, group, area, emotion, sample_iteration, reference_audio, reference_text
         )
-        ref_int16 = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
+        ref_int16 = self._load_ref(ref_audio)
         ref_f32 = ref_int16.astype(np.float32) / 32768.0
         plans = self._plan_chunks(ref_f32, ref_text, text, speed=speed)
         yield from self.audio_processor.stream_with_crossfade(
@@ -413,7 +461,7 @@ class TTSEngine:
         )
 
         try:
-            ref_int16 = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
+            ref_int16 = self._load_ref(ref_audio)
             ref_f32 = ref_int16.astype(np.float32) / 32768.0
 
             plans = self._plan_chunks(ref_f32, ref_text, text, speed=speed)

@@ -13,7 +13,9 @@ bounded because all inputs are padded into config-declared buckets.
 
 from __future__ import annotations
 
+import hashlib
 import time
+from collections import OrderedDict
 from typing import Dict, Tuple
 
 import jax
@@ -116,8 +118,16 @@ class EngineCore:
         # Reference-waveform H2D dtype (config.transfer_dtype): f16 halves
         # bytes over a slow tunneled host link; f32 for bit-exact conditioning.
         self.transfer_dtype = jnp.dtype(config.transfer_dtype)
-        self._jit_cache: Dict[Tuple[int, int], callable] = {}
+        self._jit_cache: Dict[Tuple, callable] = {}
         self.timer = StageTimer()
+        # Device-resident voice-conditioning cache: sha1(ref audio bytes) →
+        # [R_cap, n_mels] f32 log-mel on device. See _cond_handles.
+        self._cond_cache: OrderedDict[str, jax.Array] = OrderedDict()
+        self.cond_cache_hits = 0
+        self.cond_cache_misses = 0
+        # Warmed trim classes per (batch, n_frames, cond_cached) — see
+        # pick_trim. Only warmup() adds entries.
+        self._warm_trims: Dict[Tuple, set] = {}
 
     # -- Parameter placement -------------------------------------------------
 
@@ -173,15 +183,14 @@ class EngineCore:
 
     # -- The fused chunk program --------------------------------------------
 
-    def _latent_pipeline(
-        self, params, wave, ref_len, text_ids, total_len, row_seeds, x0, n_frames
+    def _sample_latent(
+        self, params, mel, ref_len, text_ids, total_len, row_seeds, x0, n_frames
     ):
-        """Shared trace: waveform → mel cond/masks → sampled latent.
+        """Shared trace from a [B, N, n_mels] log-mel: masks → sampled latent.
 
-        Used by both the full chunk program and the mel-latent program so the
-        golden-numerics harness measures exactly the serving computation.
-        Returns (mel, is_ref, mask, raw_latent)."""
-        mel = self.frontend(wave.astype(jnp.float32))  # [B, N, n_mels]
+        Returns (mel, is_ref, mask, raw_latent). mel rows at or beyond
+        ``ref_len`` are never read (masked by ``is_ref`` everywhere), so both
+        the waveform path and the cached-conditioning path feed this."""
         frame_idx = jnp.arange(n_frames, dtype=jnp.int32)
         is_ref = frame_idx[None, :] < ref_len[:, None]
         mask = frame_idx[None, :] < total_len[:, None]
@@ -193,9 +202,46 @@ class EngineCore:
         )
         return mel, is_ref, mask, latent
 
-    def _build_chunk_fn(self, batch: int, n_frames: int):
+    def _latent_pipeline(
+        self, params, wave, ref_len, text_ids, total_len, row_seeds, x0, n_frames
+    ):
+        """Waveform → mel cond/masks → sampled latent (golden-harness entry:
+        the mel-latent program measures exactly the serving computation)."""
+        mel = self.frontend(wave.astype(jnp.float32))  # [B, N, n_mels]
+        return self._sample_latent(
+            params, mel, ref_len, text_ids, total_len, row_seeds, x0, n_frames
+        )
+
+    def _finish_waveform(self, params, mel, is_ref, mask, latent, trim: int):
+        """Latent → packed int16 PCM (shared tail of every chunk program).
+
+        ``trim`` (static) drops that many leading frames from the packed
+        output INSIDE the program — callers discard the reference prefix
+        anyway, and device→host bytes are the latency path's scarcest
+        resource on a tunneled link. In-program slicing is the only viable
+        variant here: an eager post-dispatch slice either deadlocks (axon
+        in-flight-slice bug) or costs a blocking RPC that cancels the
+        transfer saving (measured: block+slice ≈ full fetch)."""
+        # Keep the reference prefix at its ground-truth mel for the
+        # vocoder's receptive field, zero out padding frames.
+        latent = jnp.where(is_ref[..., None], mel, latent)
+        latent = jnp.where(mask[..., None], latent, 0.0)
+        wav = vocoder_forward(params["vocoder"], self.voc_cfg, latent)
+        # PCM-exact int16 on device (same trunc semantics as
+        # ``(x*32767).astype(np.int16)`` in the reference's
+        # normalize path), packed as int32 pairs: int16 itself takes a
+        # slow conversion path through the transfer tunnel.
+        pcm = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
+        b = pcm.shape[0]
+        packed = jax.lax.bitcast_convert_type(
+            pcm.reshape(b, -1, 2), jnp.int32
+        )  # [B, n_frames*hop/2] i32
+        if trim:
+            packed = packed[:, trim * self.config.hop_length // 2 :]
+        return packed
+
+    def _build_chunk_fn(self, batch: int, n_frames: int, trim: int = 0):
         """Compile the full chunk pipeline for static (batch, n_frames)."""
-        voc_cfg = self.voc_cfg
 
         def chunk_fn(params, wave, ref_len, text_ids, total_len, row_seeds):
             # wave: [B, n_frames*hop] f16; ref_len/total_len: [B] i32;
@@ -207,37 +253,133 @@ class EngineCore:
                 params, wave, ref_len, text_ids, total_len, row_seeds, None,
                 n_frames,
             )
-            # Keep the reference prefix at its ground-truth mel for the
-            # vocoder's receptive field, zero out padding frames.
-            latent = jnp.where(is_ref[..., None], mel, latent)
-            latent = jnp.where(mask[..., None], latent, 0.0)
-            wav = vocoder_forward(params["vocoder"], voc_cfg, latent)
-            # PCM-exact int16 on device (same trunc semantics as
-            # ``(x*32767).astype(np.int16)`` in the reference's
-            # normalize path), packed as int32 pairs: int16 itself takes a
-            # slow conversion path through the transfer tunnel.
-            pcm = (jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
-            b = pcm.shape[0]
-            return jax.lax.bitcast_convert_type(
-                pcm.reshape(b, -1, 2), jnp.int32
-            )  # [B, n_frames*hop/2] i32
+            return self._finish_waveform(params, mel, is_ref, mask, latent, trim)
 
         # Committed input shardings (params TP-sharded, batch data-sharded)
         # propagate through GSPMD — no per-program annotation needed.
         return jax.jit(chunk_fn)
 
-    def chunk_fn(self, batch: int, n_frames: int):
-        key = (batch, n_frames)
+    def _build_chunk_fn_cond(self, batch: int, n_frames: int, trim: int = 0):
+        """Chunk pipeline fed by cached device-resident conditioning mels.
+
+        Takes the B cached [R_cap, n_mels] mel arrays as trailing positional
+        args (stacked inside the program — no separate stack dispatch, and
+        rows sharing a voice pass the same device buffer), so the only
+        host→device payload is text ids + lengths + seeds: the waveform —
+        the chunk program's largest transfer — never crosses the link."""
+
+        def chunk_fn(params, ref_len, text_ids, total_len, row_seeds, *conds):
+            mel_ref = jnp.stack(conds)  # [B, R_cap, n_mels] f32
+            r = mel_ref.shape[1]
+            if r < n_frames:
+                mel = jnp.pad(mel_ref, ((0, 0), (0, n_frames - r), (0, 0)))
+            else:
+                mel = mel_ref[:, :n_frames]
+            mel, is_ref, mask, latent = self._sample_latent(
+                params, mel, ref_len, text_ids, total_len, row_seeds, None,
+                n_frames,
+            )
+            return self._finish_waveform(params, mel, is_ref, mask, latent, trim)
+
+        return jax.jit(chunk_fn)
+
+    def chunk_fn(
+        self, batch: int, n_frames: int, cond_cached: bool = False, trim: int = 0
+    ):
+        key = (batch, n_frames, cond_cached, trim) if trim else (
+            batch, n_frames, cond_cached
+        )
         if key not in self._jit_cache:
             t0 = time.perf_counter()
-            self._jit_cache[key] = self._build_chunk_fn(batch, n_frames)
+            build = self._build_chunk_fn_cond if cond_cached else self._build_chunk_fn
+            self._jit_cache[key] = build(batch, n_frames, trim)
             log.debug(
-                "Built chunk program for B=%d N=%d in %.2fs",
+                "Built chunk program for B=%d N=%d cond_cached=%s trim=%d in %.2fs",
                 batch,
                 n_frames,
+                cond_cached,
+                trim,
                 time.perf_counter() - t0,
             )
         return self._jit_cache[key]
+
+    # -- Trimmed-fetch program registry --------------------------------------
+
+    def _cond_eligible(self, ref_len: np.ndarray, n_frames: int) -> bool:
+        """Whether a batch can run the cached-conditioning program."""
+        cfg = self.config
+        if self.mesh is not None or not cfg.voice_cond_cache:
+            return False
+        margin = -(-cfg.n_fft // cfg.hop_length)  # 4 frames at 1024/256
+        return not (ref_len + margin > min(self._cond_cap_frames, n_frames)).any()
+
+    def pick_trim(self, batch: int, n_frames: int, ref_len: np.ndarray) -> int:
+        """Largest WARMED trim class ≤ every row's ref_len (64-frame grid).
+
+        Trim variants are full chunk-program compiles (minutes on a small
+        host), so requests only ever use classes that warmup() registered —
+        an unwarmed combination degrades to trim 0 (full fetch), never to a
+        surprise compile."""
+        if self.mesh is not None:
+            return 0
+        ref_len = np.asarray(ref_len, np.int32)
+        want = int(ref_len.min()) // 64 * 64
+        if want <= 0:
+            return 0
+        cond = self._cond_eligible(ref_len, n_frames)
+        avail = self._warm_trims.get((batch, n_frames, cond), ())
+        return max((t for t in avail if t <= want), default=0)
+
+    # -- Voice-conditioning cache -------------------------------------------
+
+    @property
+    def _cond_cap_frames(self) -> int:
+        return min(self.config.voice_cond_frames, self.config.frame_buckets[-1])
+
+    def _cond_fn(self):
+        """Jitted reference-mel extractor at the cache cap length."""
+        key = ("cond_frontend", self._cond_cap_frames)
+        if key not in self._jit_cache:
+
+            def cond_fn(wave):  # [1, R_cap*hop] transfer dtype
+                return self.frontend(wave.astype(jnp.float32))  # [1, R_cap, M] f32
+
+            self._jit_cache[key] = jax.jit(cond_fn)
+        return self._jit_cache[key]
+
+    def _cond_handles(self, wave: np.ndarray, ref_len: np.ndarray, n_frames: int):
+        """Device mel handles for each row's reference prefix, or None.
+
+        The reference prefix's log-mel depends only on the first
+        ``(ref_len+4)·hop`` waveform samples (centered STFT, reflect pad of
+        2 hops — rows ≥ ref_len are masked out downstream), so it is cached
+        on device keyed by those bytes. Returns None (→ waveform path) when
+        the cache is disabled, a mesh is active (shardings differ), or any
+        reference is too long for the cache window."""
+        cfg = self.config
+        if not self._cond_eligible(ref_len, n_frames):
+            return None
+        r_cap = self._cond_cap_frames
+        margin = -(-cfg.n_fft // cfg.hop_length)  # 4 frames at 1024/256
+        hop = cfg.hop_length
+        handles = []
+        for i in range(wave.shape[0]):
+            used = np.ascontiguousarray(wave[i, : (int(ref_len[i]) + margin) * hop])
+            key = hashlib.sha1(used.tobytes()).hexdigest()
+            h = self._cond_cache.get(key)
+            if h is None:
+                self.cond_cache_misses += 1
+                w = np.zeros((1, r_cap * hop), self.transfer_dtype)
+                w[0, : used.shape[0]] = used
+                h = self._cond_fn()(w)[0]  # [R_cap, n_mels] f32, on device
+                self._cond_cache[key] = h
+                while len(self._cond_cache) > cfg.voice_cond_cache_size:
+                    self._cond_cache.popitem(last=False)
+            else:
+                self.cond_cache_hits += 1
+                self._cond_cache.move_to_end(key)
+            handles.append(h)
+        return handles
 
     # -- Public batch API ----------------------------------------------------
 
@@ -248,33 +390,66 @@ class EngineCore:
         text_ids: np.ndarray,  # [B, N] int32, -1 padded
         total_len: np.ndarray,  # [B] int32 (frames, incl. reference)
         seed: int | np.ndarray = 0,
+        trim_ref_frames: int = 0,
     ) -> np.ndarray:
-        """Run one padded batch; returns [B, N*hop] int16 waveforms.
+        """Run one padded batch; returns [B, (N−trim)*hop] int16 waveforms.
 
         ``seed`` may be a scalar (applied to every row) or a [B] array of
         per-utterance seeds; per-row noise derivation makes each row's output
         independent of batch composition.
+
+        ``trim_ref_frames`` (≤ every row's ref_len, 64-frame grid) makes the
+        program drop that many leading frames before the fetch: callers
+        discard the reference prefix anyway, and device→host bytes are the
+        latency path's scarcest resource on a tunneled link (~44 ms for a
+        full 384 bucket). Row i's audio then starts at frame
+        ``trim_ref_frames``. Callers should pass ``pick_trim(...)`` so only
+        warmed trim classes are used.
         """
+        b = wave.shape[0]
+        fn, args = self._prepare_dispatch(
+            wave, ref_len, text_ids, total_len, seed, trim_ref_frames
+        )
+        with self.timer.stage("chunk_pipeline"):
+            packed = jax.device_get(fn(self.params, *args))
+        return packed.view(np.int16).reshape(b, -1)
+
+    def _prepare_dispatch(self, wave, ref_len, text_ids, total_len, seed, trim=0):
+        """Resolve the chunk program + argument tuple for one padded batch.
+
+        Prefers the cached-conditioning program (no waveform transfer) and
+        falls back to the waveform program when the cache can't serve the
+        batch (disabled, mesh active, or reference too long)."""
         b = wave.shape[0]
         n_frames = wave.shape[1] // self.config.hop_length
         row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
-        fn = self.chunk_fn(b, n_frames)
-        # Numpy args go straight into the jit call: one dispatch moves all
-        # five arrays instead of five explicit (latency-bound) transfers.
-        args = (
-            np.asarray(wave, self.transfer_dtype),
-            np.asarray(ref_len, np.int32),
+        ref_len = np.asarray(ref_len, np.int32)
+        if trim:
+            if self.mesh is not None:
+                raise ValueError("trim_ref_frames is not supported under a mesh")
+            if trim % 64 or (ref_len < trim).any():
+                raise ValueError(
+                    f"trim_ref_frames={trim} must be a 64-multiple "
+                    f"≤ every row's ref_len"
+                )
+        small = (
             np.asarray(text_ids, np.int32),
             np.asarray(total_len, np.int32),
             row_seeds,
         )
+        handles = self._cond_handles(np.asarray(wave, np.float32), ref_len, n_frames)
+        if handles is not None:
+            fn = self.chunk_fn(b, n_frames, cond_cached=True, trim=trim)
+            return fn, (ref_len, *small, *handles)
+        fn = self.chunk_fn(b, n_frames, trim=trim)
+        # Numpy args go straight into the jit call: one dispatch moves all
+        # five arrays instead of five explicit (latency-bound) transfers.
+        args = (np.asarray(wave, self.transfer_dtype), ref_len, *small)
         if self.mesh is not None:
             from ..parallel.sharding import shard_batch
 
             args = shard_batch(self.mesh, *args)
-        with self.timer.stage("chunk_pipeline"):
-            packed = jax.device_get(fn(self.params, *args))
-        return packed.view(np.int16).reshape(b, -1)
+        return fn, args
 
     def synthesize_batch_async(
         self,
@@ -283,6 +458,7 @@ class EngineCore:
         text_ids: np.ndarray,
         total_len: np.ndarray,
         seed: int | np.ndarray = 0,
+        trim_ref_frames: int = 0,
     ):
         """Dispatch one padded batch without blocking.
 
@@ -293,20 +469,9 @@ class EngineCore:
         k+1 — the transfer cost disappears from steady-state throughput.
         """
         b = wave.shape[0]
-        n_frames = wave.shape[1] // self.config.hop_length
-        row_seeds = np.broadcast_to(np.asarray(seed, np.uint32), (b,)).copy()
-        fn = self.chunk_fn(b, n_frames)
-        args = (
-            np.asarray(wave, self.transfer_dtype),
-            np.asarray(ref_len, np.int32),
-            np.asarray(text_ids, np.int32),
-            np.asarray(total_len, np.int32),
-            row_seeds,
+        fn, args = self._prepare_dispatch(
+            wave, ref_len, text_ids, total_len, seed, trim_ref_frames
         )
-        if self.mesh is not None:
-            from ..parallel.sharding import shard_batch
-
-            args = shard_batch(self.mesh, *args)
         out = fn(self.params, *args)  # in flight
 
         def fetch() -> np.ndarray:
@@ -361,15 +526,28 @@ class EngineCore:
         with self.timer.stage("mel_latent"):
             return np.asarray(jax.device_get(self._jit_cache[key](self.params, *args)))
 
-    def warmup(self, batches=(1,), buckets=None) -> None:
-        """Ahead-of-time compile the configured shape buckets."""
+    def warmup(self, batches=(1,), buckets=None, trim_classes=(0,)) -> None:
+        """Ahead-of-time compile the configured shape buckets.
+
+        ``trim_classes`` additionally compiles trimmed-fetch program
+        variants (64-frame grid) for BATCH-1 programs — the latency path —
+        and registers them with pick_trim. The engine derives the useful
+        class from the default catalog voice's reference length; anything
+        not registered here simply runs untrimmed."""
         buckets = buckets or self.config.frame_buckets
         hop = self.config.hop_length
         for b in batches:
             for n in buckets:
-                self.synthesize_batch(
-                    np.zeros((b, n * hop), np.float32),
-                    np.full((b,), 8, np.int32),
-                    np.full((b, n), -1, np.int32),
-                    np.full((b,), min(n, 16), np.int32),
-                )
+                for trim in sorted(set(trim_classes)):
+                    if trim and (b != 1 or trim % 64 or trim + 16 >= n):
+                        continue
+                    ref = max(8, trim + 8)
+                    self.synthesize_batch(
+                        np.zeros((b, n * hop), np.float32),
+                        np.full((b,), ref, np.int32),
+                        np.full((b, n), -1, np.int32),
+                        np.full((b,), min(n, ref + 8), np.int32),
+                        trim_ref_frames=trim,
+                    )
+                    cond = self._cond_eligible(np.full((b,), ref, np.int32), n)
+                    self._warm_trims.setdefault((b, n, cond), set()).add(trim)

@@ -64,7 +64,14 @@ class BatcherStats:
 
 
 class MicroBatcher:
-    """Queue → bucket-grouped padded batches → fused TPU program."""
+    """Queue → bucket-grouped padded batches → fused TPU program.
+
+    Futures resolve to FULL device rows (reference prefix included); the
+    engine slices the target region host-side. The on-device reference
+    trim (EngineCore ``trim_ref_frames``) is deliberately NOT used here:
+    the fetch thread already overlaps D2H with the next batch's compute, so
+    trimming would only change hidden bytes while complicating the future
+    contract shared with the multihost loop's wire format."""
 
     def __init__(
         self,
