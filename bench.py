@@ -59,7 +59,9 @@ def _timed(fn, reps: int, warm: int = 1):
 
 
 def bench_short_sentence(engine, sr: int) -> dict:
-    p50, (wave, _) = _timed(lambda: engine.synthesize(SHORT_TEXT), reps=5)
+    # 9 reps: the tunneled link's latency variance is ±5-10 ms run to run;
+    # a 5-rep median still wobbles visibly.
+    p50, (wave, _) = _timed(lambda: engine.synthesize(SHORT_TEXT), reps=9)
     audio_s = len(wave) / sr
     log(f"[1 short_sentence] p50 {p50 * 1e3:.0f} ms, {audio_s:.1f} audio-s "
         f"-> {audio_s / p50:.1f}x realtime")
@@ -83,7 +85,7 @@ def bench_voice_clone(engine, sr: int, tmpdir: str) -> dict:
         lambda: engine.synthesize(
             SHORT_TEXT, reference_audio=path, reference_text=ref_text
         ),
-        reps=3,
+        reps=7,
     )
     audio_s = len(wave) / sr
     log(f"[2 voice_clone] p50 {p50 * 1e3:.0f} ms, {audio_s:.1f} audio-s "
@@ -336,6 +338,11 @@ def main() -> None:
     engine = api.engine
     core = engine.engine_core
     hop, sr = cfg.hop_length, cfg.sample_rate
+
+    # Deploy-style warmup of the latency buckets: compiles the cached-
+    # conditioning programs AND registers the trimmed-fetch classes
+    # (pick_trim only uses warmed classes). Mirrors WARMUP_ON_START.
+    engine.warmup(batches=(1,), buckets=(384, 448, 704))
 
     configs = {}
     # Headline first (it also warms the big bucket): batch-8 pipelined.

@@ -123,5 +123,6 @@ class TestLatencyBuckets:
         cfg = ModelConfig()
         assert cfg.frame_bucket_for(352) == 384   # short sentence + default ref
         assert cfg.frame_bucket_for(452) == 512   # voice clone, 3 s ref
-        assert cfg.frame_bucket_for(662) == 768   # voice clone, longer target
+        assert cfg.frame_bucket_for(662) == 704   # voice clone, longer target
+        assert cfg.frame_bucket_for(730) == 768
         assert cfg.frame_bucket_for(2600) == 2048  # clamps to max

@@ -98,7 +98,9 @@ class ModelConfig:
     # latency waste. Above 768 traffic is batched long-text chunks where
     # per-row padding amortizes. Each bucket is one more XLA compile per
     # batch size — amortized by the persistent compile cache.
-    frame_buckets: tuple[int, ...] = (256, 384, 448, 512, 576, 640, 768, 1024, 2048)
+    frame_buckets: tuple[int, ...] = (
+        256, 384, 448, 512, 576, 640, 704, 768, 1024, 2048
+    )
     text_buckets: tuple[int, ...] = (128, 256, 512, 1024)
     max_batch_size: int = 8
     use_pallas: bool = True  # fused Pallas kernels where available (TPU only)

@@ -132,14 +132,17 @@ def fused_qkv_rope_attention(
     """Multi-head RoPE attention → [B, N, H·D]."""
     b, n, three_hd = qkv.shape
     d = three_hd // (3 * heads)
-    # block_q must divide n: halve until it does (n is an 8-multiple per
-    # supports_shape, so this terminates at ≥8 — e.g. the 768-frame bucket
-    # runs 256-row q blocks).
+    # block_q must divide n; prefer the LARGEST dividing block ≤ block_q
+    # that is a multiple of 8 (Mosaic sublane tiling) — bigger q blocks mean
+    # fewer grid cells and larger MXU dots (the 704-frame bucket runs
+    # 352-row blocks, 768 runs 384; naive halving would give 64 and 256).
     block_q = min(block_q, n)
-    while block_q > 8 and n % block_q:
-        block_q //= 2
-    if n % block_q != 0:
-        raise ValueError(f"sequence length {n} has no power-of-two q-block size")
+    if n % block_q:
+        block_q = next(
+            (c for c in range(block_q - block_q % 8, 7, -8) if n % c == 0), 0
+        )
+    if not block_q:
+        raise ValueError(f"sequence length {n} has no 8-multiple q-block size")
     if mask is None:
         bias = jnp.zeros((b, 1, n), jnp.float32)
     else:

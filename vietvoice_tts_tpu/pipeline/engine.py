@@ -92,12 +92,14 @@ class TTSEngine:
         reference prefix it would discard anyway."""
         batches = batches or self.config.batch_grid()
         if trim_classes is None:
-            trim_classes = {0}
+            # 256 covers typical user voice-clone refs (~3 s ≈ 282 frames);
+            # the default-voice floor covers catalog requests. Trim-variant
+            # compiles are cheap relative to the base program (same DiT
+            # scan, different final slice).
+            trim_classes = {0, 256}
             try:
                 ref_audio, _ = self.model_session_manager.select_sample()
-                ref_int16 = self.audio_processor.load_audio(
-                    ref_audio, self.config.sample_rate
-                )
+                ref_int16 = self._load_ref(ref_audio)
                 ref_frames = len(ref_int16) // self.config.hop_length + 1
                 trim_classes.add(ref_frames // 64 * 64)
             except Exception:  # pragma: no cover — warmup stays best-effort
