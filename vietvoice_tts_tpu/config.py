@@ -101,7 +101,6 @@ class ModelConfig:
     frame_buckets: tuple[int, ...] = (
         256, 384, 448, 512, 576, 640, 704, 768, 1024, 2048
     )
-    text_buckets: tuple[int, ...] = (128, 256, 512, 1024)
     max_batch_size: int = 8
     use_pallas: bool = True  # fused Pallas kernels where available (TPU only)
     donate_sampler_state: bool = True
@@ -182,12 +181,6 @@ class ModelConfig:
             if n_frames <= b:
                 return b
         return self.frame_buckets[-1]
-
-    def text_bucket_for(self, n_chars: int) -> int:
-        for b in self.text_buckets:
-            if n_chars <= b:
-                return b
-        return self.text_buckets[-1]
 
     def batch_grid(self) -> tuple[int, ...]:
         """Padded batch sizes actually dispatched to the device (see module
