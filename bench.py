@@ -309,7 +309,9 @@ def bench_rest_serving(api, n_requests: int = 64) -> dict:
     bucket = engine._plan_chunks(
         ref_int16.astype(np.float32) / 32768.0, ref_text, sweep_text
     )[0].bucket
-    engine.warmup(batches=(1, 2, 4, 8), buckets=(bucket,))
+    # Warm the FULL batch grid (includes the 3/6 midpoints the batcher now
+    # pads to) at the sweep bucket.
+    engine.warmup(batches=engine.config.batch_grid(), buckets=(bucket,))
 
     client = AsyncTestClient(app_module.app)
     sweep = []

@@ -298,10 +298,11 @@ class TestBatchGridHelpers:
     def test_grid_powers_of_two_capped(self):
         from vietvoice_tts_tpu.config import batch_grid, pad_batch_size
 
-        assert batch_grid(8) == (1, 2, 4, 8)
-        assert batch_grid(6) == (1, 2, 4, 6)
+        assert batch_grid(8) == (1, 2, 3, 4, 6, 8)
+        assert batch_grid(6) == (1, 2, 3, 4, 6)
         assert batch_grid(1) == (1,)
-        assert pad_batch_size(3, 8) == 4
+        assert pad_batch_size(3, 8) == 3
+        assert pad_batch_size(5, 8) == 6  # midpoint: 75% worst-case rows
         assert pad_batch_size(5, 6) == 6
         assert pad_batch_size(7, 6) == 6  # clamps, never exceeds max
 

@@ -615,7 +615,7 @@ class TestMultiHostBroadcast:
         finally:
             loop.stop()
         assert stub.dispatched_rows[0] == 1, stub.dispatched_rows
-        # Three co-arriving jobs pad to 4 (next power of two), still < 8.
+        # Three co-arriving jobs fit a 3-row grid program exactly.
         stub2 = _StubCore(core.config)
         loop2 = MultiHostServingLoop(stub2, max_batch=8, max_wait_ms=200)
         try:
@@ -627,7 +627,7 @@ class TestMultiHostBroadcast:
                 j.future.result(timeout=60)
         finally:
             loop2.stop()
-        assert stub2.dispatched_rows[0] == 4, stub2.dispatched_rows
+        assert stub2.dispatched_rows[0] == 3, stub2.dispatched_rows
 
     def test_worker_dispatch_failure_stops_loop(self, core):
         """A worker whose device dispatch raises mid-step must fail-stop

@@ -243,10 +243,18 @@ TTSConfig = ModelConfig
 
 def batch_grid(max_batch: int) -> tuple[int, ...]:
     """Padded batch sizes actually dispatched to the device: powers of two up
-    to ``max_batch`` plus ``max_batch`` itself (never exceeding it). The
-    micro-batcher pads every dispatch up to a grid element and warmup compiles
-    exactly this grid, so no request-time batch shape hits a cold compile."""
+    to ``max_batch``, their 3·2^k midpoints (3, 6, 12, …), and ``max_batch``
+    itself (never exceeding it). The micro-batcher pads every dispatch up to
+    a grid element and warmup compiles exactly this grid, so no request-time
+    batch shape hits a cold compile.
+
+    The midpoints matter at serving saturation: padded rows burn real device
+    compute, and a pure power-of-two ladder caps worst-case row efficiency
+    at ~50% (5 jobs → batch 8). With midpoints the worst case is ~75%
+    (measured: the REST sweep sat at mean batch 5.42 padded to 8 — 68%
+    row efficiency — with the 3/6 steps it pads to 6)."""
     grid = {g for g in (1 << i for i in range(max_batch.bit_length())) if g <= max_batch}
+    grid |= {3 * g for g in grid if 3 * g <= max_batch}
     grid.add(max_batch)
     return tuple(sorted(grid))
 
