@@ -97,6 +97,22 @@ class TestConversion:
         assert meta["dit"]["heads"] == 16
         assert meta["probed"]["heads"] == 16  # audit trail
 
+    def test_zero_flag_conversion_discovers_sibling_name_map(
+        self, fixture_pack, temp_dir
+    ):
+        """`convert_reference_tarball(tar, pack)` with NO name_map must find
+        the sibling `<tarball>.name_map.json` (what `f5_fixture` writes) and
+        resolve 100% of leaves — the zero-flag invocation is what actually
+        gets typed on conversion day."""
+        tar = fixture_pack["tar"]
+        sib = Path(str(tar)).with_suffix(".name_map.json")
+        sib.write_text(json.dumps(fixture_pack["name_map"]))
+        try:
+            report = convert_reference_tarball(tar, Path(temp_dir) / "p0")
+            assert report["weights"]["unresolved"] == []
+        finally:
+            sib.unlink()
+
     def test_committed_name_map_matches_generator(self):
         """``models/f5_name_map.json`` (the conversion-day starter artifact)
         is exactly ``build_name_map`` at the expected real-model shape."""

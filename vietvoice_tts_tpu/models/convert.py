@@ -488,6 +488,21 @@ def map_initializers_to_params(
     return params, report
 
 
+def _auto_name_map(tar_path) -> tuple[dict | None, str]:
+    """Zero-flag name-map discovery: a sibling ``<tarball>.name_map.json``
+    first (what ``f5_fixture`` writes), else the committed F5 starter map.
+    Returns (map, source_path) — (None, "") when neither exists."""
+    import json
+
+    sib = Path(str(tar_path)).with_suffix(".name_map.json")
+    if sib.exists():
+        return json.loads(sib.read_text()), str(sib)
+    committed = Path(__file__).with_name("f5_name_map.json")
+    if committed.exists():
+        return json.loads(committed.read_text()), str(committed)
+    return None, ""
+
+
 def convert_reference_tarball(
     tar_path: str | Path,
     pack_dir: str | Path,
@@ -500,6 +515,13 @@ def convert_reference_tarball(
     mapped when the ``onnx`` package is available. Unresolved leaves keep
     their seeded-init values and are listed in the returned report —
     rerun with an extended ``name_map`` to pin them explicitly.
+
+    When ``name_map`` is None it is auto-discovered (sibling
+    ``.name_map.json``, else the committed ``f5_name_map.json``) and
+    filtered to entries whose initializers exist in THIS tarball — an
+    explicit entry whose initializer is missing marks its leaf unresolved
+    (the escape hatch must fail loudly), but a stale auto-discovered entry
+    must not block the shape heuristics.
 
     Can be run directly::
 
@@ -577,6 +599,20 @@ def convert_reference_tarball(
         merged = {
             f"{g}.{n}": a for g, inits in graphs.items() for n, a in inits.items()
         }
+        if name_map is None:
+            auto, src = _auto_name_map(tar_path)
+            if auto:
+                name_map = {
+                    k: v
+                    for k, v in auto.items()
+                    if all(e["name"] in merged for e in _spec_entries(v))
+                }
+                log.info(
+                    "Auto name map %s: %d/%d entries apply to this tarball",
+                    src,
+                    len(name_map),
+                    len(auto),
+                )
         orientations = {
             f"{stem}.{name}": orient
             for stem, m in models.items()
