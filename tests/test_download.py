@@ -1,0 +1,199 @@
+"""Tarball downloader (models/download.py) — reference parity for
+``ModelConfig.ensure_model_downloaded``
+(``/root/reference/vietvoicetts/core/model_config.py:71-104``): fresh
+download, cache reuse, partial-download handling, and resume — all against a
+patched opener, no network.
+"""
+
+import urllib.error
+from pathlib import Path
+
+import pytest
+
+from vietvoice_tts_tpu.models.download import (
+    DEFAULT_MODEL_URL,
+    ensure_model_downloaded,
+    resolve_tarball,
+)
+
+PAYLOAD = bytes(range(256)) * 40  # 10240 bytes
+
+
+class FakeResponse:
+    """Minimal urlopen response: status, headers, chunked reads, fail-at."""
+
+    def __init__(self, data: bytes, status=200, content_length=True, fail_after=None):
+        self.data = data
+        self.status = status
+        self.headers = (
+            {"Content-Length": str(len(data))} if content_length else {}
+        )
+        self.pos = 0
+        self.fail_after = fail_after
+
+    def read(self, n):
+        if self.fail_after is not None and self.pos >= self.fail_after:
+            raise urllib.error.URLError("connection reset")
+        chunk = self.data[self.pos : self.pos + min(n, 1024)]
+        self.pos += len(chunk)
+        return chunk
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def make_opener(responses: list, seen: list):
+    """Sequential opener: pops the next FakeResponse per call."""
+
+    def opener(req):
+        seen.append(req)
+        return responses.pop(0)
+
+    return opener
+
+
+class TestFreshDownload:
+    def test_downloads_and_renames_atomically(self, tmp_path):
+        dest = tmp_path / "model-bin.pt"
+        seen: list = []
+        out = ensure_model_downloaded(
+            url="https://x/model-bin.pt",
+            dest=dest,
+            opener=make_opener([FakeResponse(PAYLOAD)], seen),
+        )
+        assert out == dest
+        assert dest.read_bytes() == PAYLOAD
+        assert not dest.with_suffix(".pt.partial").exists()
+        assert len(seen) == 1
+
+    def test_progress_callback_sees_totals(self, tmp_path):
+        calls = []
+        ensure_model_downloaded(
+            url="https://x/m.pt",
+            dest=tmp_path / "m.pt",
+            progress=lambda done, total: calls.append((done, total)),
+            opener=make_opener([FakeResponse(PAYLOAD)], []),
+        )
+        assert calls[-1] == (len(PAYLOAD), len(PAYLOAD))
+        assert all(t == len(PAYLOAD) for _, t in calls)
+
+    def test_unknown_length_still_downloads(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        ensure_model_downloaded(
+            url="https://x/m.pt",
+            dest=dest,
+            opener=make_opener([FakeResponse(PAYLOAD, content_length=False)], []),
+        )
+        assert dest.read_bytes() == PAYLOAD
+
+
+class TestCachedReuse:
+    def test_existing_file_is_not_refetched(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        dest.write_bytes(b"cached")
+        seen: list = []
+        out = ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([], seen)
+        )
+        assert out == dest
+        assert dest.read_bytes() == b"cached"
+        assert seen == []
+
+
+class TestInterruptedDownload:
+    def test_failure_keeps_partial_for_resume(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        with pytest.raises(RuntimeError, match="Failed to download"):
+            ensure_model_downloaded(
+                url="https://x/m.pt",
+                dest=dest,
+                opener=make_opener([FakeResponse(PAYLOAD, fail_after=4096)], []),
+            )
+        partial = dest.with_suffix(".pt.partial")
+        assert not dest.exists()
+        assert partial.exists()
+        assert partial.read_bytes() == PAYLOAD[:4096]
+
+    def test_failure_without_resume_removes_partial(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        with pytest.raises(RuntimeError):
+            ensure_model_downloaded(
+                url="https://x/m.pt",
+                dest=dest,
+                resume=False,
+                opener=make_opener([FakeResponse(PAYLOAD, fail_after=2048)], []),
+            )
+        assert not dest.with_suffix(".pt.partial").exists()
+
+    def test_short_read_without_exception_is_a_failure(self, tmp_path):
+        """Server closes early with Content-Length promised: must not rename
+        the truncated partial into place."""
+        dest = tmp_path / "m.pt"
+        truncated = FakeResponse(PAYLOAD[:1000])
+        truncated.headers = {"Content-Length": str(len(PAYLOAD))}
+        with pytest.raises(RuntimeError, match="resume"):
+            ensure_model_downloaded(
+                url="https://x/m.pt", dest=dest, opener=make_opener([truncated], [])
+            )
+        assert not dest.exists()
+
+
+class TestResume:
+    def test_resume_appends_with_range_header(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(PAYLOAD[:4096])
+        rest = FakeResponse(PAYLOAD[4096:], status=206)
+        seen: list = []
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([rest], seen)
+        )
+        assert dest.read_bytes() == PAYLOAD
+        assert seen[0].headers.get("Range") == "bytes=4096-"
+
+    def test_server_ignoring_range_restarts(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(b"junkjunk")
+        full = FakeResponse(PAYLOAD, status=200)  # not 206: range ignored
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([full], [])
+        )
+        assert dest.read_bytes() == PAYLOAD
+
+    def test_interrupt_then_resume_round_trip(self, tmp_path):
+        dest = tmp_path / "m.pt"
+        with pytest.raises(RuntimeError):
+            ensure_model_downloaded(
+                url="https://x/m.pt",
+                dest=dest,
+                opener=make_opener([FakeResponse(PAYLOAD, fail_after=4096)], []),
+            )
+        rest = FakeResponse(PAYLOAD[4096:], status=206)
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([rest], [])
+        )
+        assert dest.read_bytes() == PAYLOAD
+
+
+class TestResolveTarball:
+    def test_local_path_passthrough(self, tmp_path):
+        p = tmp_path / "local.pt"
+        p.write_bytes(b"x")
+        assert resolve_tarball(p) == p
+
+    def test_url_downloads_into_cache(self, tmp_path):
+        out = resolve_tarball(
+            "https://host/path/model-bin.pt",
+            cache_dir=tmp_path,
+            opener=make_opener([FakeResponse(PAYLOAD)], []),
+        )
+        assert out == tmp_path / "model-bin.pt"
+        assert out.read_bytes() == PAYLOAD
+
+    def test_default_url_matches_reference(self):
+        assert DEFAULT_MODEL_URL.endswith("/model-bin.pt")
+        assert "VietVoice-TTS" in DEFAULT_MODEL_URL

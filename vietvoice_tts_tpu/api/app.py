@@ -67,6 +67,37 @@ if settings.WARMUP_ON_START:  # pragma: no cover — deploy-time switch
     _warmup_in_background()
 
 
+@app.get("/schema/openapi.json")
+async def openapi_document() -> Response:
+    """Machine-readable OpenAPI 3.1 description of this API (the surface
+    Litestar auto-generates for the reference at ``/schema``,
+    ``/root/reference/vietvoicetts/api/app.py:166-168``)."""
+    import json as _json
+
+    from .asgi import openapi_schema
+
+    doc = openapi_schema(
+        app,
+        title="VietVoice TTS API",
+        version="1.0.0",
+        description="Vietnamese text-to-speech synthesis (TPU serving stack).",
+    )
+    return Response(_json.dumps(doc), media_type="application/json")
+
+
+@app.get("/schema")
+async def schema_page() -> Response:
+    """Human-visiting entry for the API docs: points at the JSON document
+    (the reference's Litestar serves interactive docs here; this build has
+    no CDN assets, so the document itself is the interface)."""
+    return Response(
+        "<html><body><h1>VietVoice TTS API</h1>"
+        '<p>OpenAPI 3.1 document: <a href="/schema/openapi.json">'
+        "/schema/openapi.json</a></p></body></html>",
+        media_type="text/html",
+    )
+
+
 @app.get("/api/v1/health")
 async def health() -> HealthResponse:
     """Health check for load balancers and monitors."""
@@ -156,14 +187,17 @@ async def metrics() -> Response:
         f"vietvoice_uptime_seconds {monotonic() - _server_start_time:.1f}",
     ]
 
-    def counter(name: str, help_text: str, value) -> None:
+    def emit(name: str, help_text: str, value) -> None:
+        # Prometheus TYPE by naming convention: *_total are monotonic
+        # counters, everything else (cache entries, health bits, HBM) is a
+        # gauge — values that can go down must not carry counter semantics.
         lines.append(f"# HELP vietvoice_{name} {help_text}")
         kind = "counter" if name.endswith("_total") else "gauge"
         lines.append(f"# TYPE vietvoice_{name} {kind}")
         lines.append(f"vietvoice_{name} {value}")
 
     engine_loaded = te._engine is not None and te._engine._engine is not None
-    counter("engine_loaded", "1 when the model is resident.", int(engine_loaded))
+    emit("engine_loaded", "1 when the model is resident.", int(engine_loaded))
     if engine_loaded:
         engine = te._engine._engine
         stages = engine.engine_core.timer.report()
@@ -177,23 +211,23 @@ async def metrics() -> Response:
                     f'vietvoice_stage_seconds_total{{stage="{stage}"}} {seconds:.3f}'
                 )
         core = engine.engine_core
-        counter("cond_cache_hits_total", "Voice-conditioning cache hits.", core.cond_cache_hits)
-        counter("cond_cache_misses_total", "Voice-conditioning cache misses.", core.cond_cache_misses)
-        counter("cond_cache_entries", "Voice-conditioning cache entries.", len(core._cond_cache))
+        emit("cond_cache_hits_total", "Voice-conditioning cache hits.", core.cond_cache_hits)
+        emit("cond_cache_misses_total", "Voice-conditioning cache misses.", core.cond_cache_misses)
+        emit("cond_cache_entries", "Voice-conditioning cache entries.", len(core._cond_cache))
         b = engine.batcher
         if b is not None:
             s = b.stats
-            counter("batches_total", "Dispatched device batches.", s.batches)
-            counter("batch_jobs_total", "Jobs served through batches.", s.jobs)
-            counter("batch_padded_rows_total", "Padding rows dispatched.", s.padded_rows)
-            counter("batch_retries_total", "Jobs re-queued after batch errors.", s.retries)
-            counter("batch_failures_total", "Jobs failed after retries.", s.failures)
-            counter("batcher_healthy", "1 when both worker threads live.", int(b.healthy))
+            emit("batches_total", "Dispatched device batches.", s.batches)
+            emit("batch_jobs_total", "Jobs served through batches.", s.jobs)
+            emit("batch_padded_rows_total", "Padding rows dispatched.", s.padded_rows)
+            emit("batch_retries_total", "Jobs re-queued after batch errors.", s.retries)
+            emit("batch_failures_total", "Jobs failed after retries.", s.failures)
+            emit("batcher_healthy", "1 when both worker threads live.", int(b.healthy))
         hbm = device_memory_stats()
         if hbm:
             for k, v in hbm.items():
                 if isinstance(v, (int, float)):
-                    counter(f"hbm_{k}", f"Device memory stat {k}.", v)
+                    emit(f"hbm_{k}", f"Device memory stat {k}.", v)
     return Response(
         "\n".join(lines) + "\n", media_type="text/plain; version=0.0.4"
     )

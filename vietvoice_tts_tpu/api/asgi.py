@@ -104,6 +104,7 @@ _PARAM_RE = re.compile(r"\{(\w+)(?::\w+)?\}")
 class Route:
     def __init__(self, method: str, path: str, handler: Callable):
         self.method = method
+        self.path = path  # original template, kept for the OpenAPI document
         self.handler = handler
         pattern = _PARAM_RE.sub(r"(?P<\1>[^/]+)", path)
         self.regex = re.compile(f"^{pattern}$")
@@ -112,6 +113,7 @@ class Route:
         import typing
 
         self.body_model = None
+        self.response_model = None
         try:
             hints = typing.get_type_hints(handler)
         except Exception:
@@ -122,13 +124,24 @@ class Route:
         ann = hints.get("data")
         if isinstance(ann, type) and issubclass(ann, pydantic.BaseModel):
             self.body_model = ann
+        ret = hints.get("return")
+        if isinstance(ret, type) and issubclass(ret, pydantic.BaseModel):
+            self.response_model = ret
+
+
+# Largest request body the server will buffer. The biggest legitimate
+# payload is a JSON synthesize request (≤1000 chars of text); 1 MiB leaves
+# two orders of magnitude of headroom while keeping an accidental (or
+# hostile) multi-GB POST from being buffered whole.
+DEFAULT_MAX_BODY_BYTES = 1 << 20
 
 
 class App:
     """ASGI application with decorator-based routing."""
 
-    def __init__(self):
+    def __init__(self, max_body_bytes: int = DEFAULT_MAX_BODY_BYTES):
         self.routes: list[Route] = []
+        self.max_body_bytes = max_body_bytes
 
     def get(self, path: str, **_ignored):
         def deco(fn):
@@ -195,13 +208,32 @@ class App:
                     return
         if scope["type"] != "http":
             return
+        # Reject oversized bodies BEFORE buffering: first via the declared
+        # Content-Length, then while draining (a chunked request carries no
+        # length up front). 413 per RFC 9110 §15.5.14.
+        too_large = False
+        for k, v in scope.get("headers") or []:
+            if k == b"content-length":
+                try:
+                    too_large = int(v) > self.max_body_bytes
+                except ValueError:
+                    pass
         body = b""
-        while True:
+        while not too_large:
             message = await receive()
             body += message.get("body", b"")
+            if len(body) > self.max_body_bytes:
+                too_large = True
+                break
             if not message.get("more_body"):
                 break
-        resp = await self._dispatch(scope["method"], scope["path"], body)
+        if too_large:
+            resp = JSONResponse(
+                {"detail": f"Request body exceeds {self.max_body_bytes} bytes"},
+                413,
+            )
+        else:
+            resp = await self._dispatch(scope["method"], scope["path"], body)
         headers = [(b"content-type", resp.media_type.encode())]
         headers += [(k.encode(), v.encode()) for k, v in resp.headers.items()]
         await send(
@@ -239,6 +271,79 @@ class App:
                 log.warning("Background task failed: %s", e)
 
 
+def openapi_schema(
+    app: App,
+    title: str = "API",
+    version: str = "1.0.0",
+    description: str = "",
+) -> dict:
+    """OpenAPI 3.1 document assembled from the route table.
+
+    Litestar auto-generates this surface for the reference
+    (``/root/reference/vietvoicetts/api/app.py:166-168`` → ``/schema``);
+    here the same machine-readable contract comes from the registered
+    routes: request bodies and typed responses from the pydantic models'
+    ``model_json_schema()`` (shared ``$defs`` hoisted into
+    ``components.schemas``), path parameters from the route templates.
+    """
+    components: Dict[str, Any] = {}
+
+    def _ref_schema(model) -> dict:
+        schema = model.model_json_schema(
+            ref_template="#/components/schemas/{model}"
+        )
+        for name, sub in schema.pop("$defs", {}).items():
+            components.setdefault(name, sub)
+        components.setdefault(model.__name__, schema)
+        return {"$ref": f"#/components/schemas/{model.__name__}"}
+
+    paths: Dict[str, dict] = {}
+    for route in app.routes:
+        op: Dict[str, Any] = {
+            "operationId": f"{route.method.lower()}_{route.handler.__name__}",
+            "summary": (inspect.getdoc(route.handler) or "").split("\n")[0],
+        }
+        params = _PARAM_RE.findall(route.path)
+        if params:
+            op["parameters"] = [
+                {
+                    "name": p,
+                    "in": "path",
+                    "required": True,
+                    "schema": {"type": "string"},
+                }
+                for p in params
+            ]
+        if route.body_model is not None:
+            op["requestBody"] = {
+                "required": True,
+                "content": {
+                    "application/json": {"schema": _ref_schema(route.body_model)}
+                },
+            }
+            op["responses"] = {
+                "422": {"description": "Validation failed"},
+            }
+        responses = op.setdefault("responses", {})
+        if route.response_model is not None:
+            responses["200"] = {
+                "description": "Successful response",
+                "content": {
+                    "application/json": {"schema": _ref_schema(route.response_model)}
+                },
+            }
+        else:
+            responses.setdefault("200", {"description": "Successful response"})
+        paths.setdefault(route.path, {})[route.method.lower()] = op
+
+    return {
+        "openapi": "3.1.0",
+        "info": {"title": title, "version": version, "description": description},
+        "paths": paths,
+        "components": {"schemas": components},
+    }
+
+
 class TestResponse:
     def __init__(self, status_code: int, body: bytes, headers: Dict[str, str]):
         self.status_code = status_code
@@ -247,6 +352,10 @@ class TestResponse:
 
     def json(self):
         return json.loads(self.content)
+
+    @property
+    def text(self) -> str:
+        return self.content.decode()
 
 
 class AsyncTestClient:

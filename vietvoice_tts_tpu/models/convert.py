@@ -674,9 +674,12 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI
     if len(sys.argv) not in (3, 4):
         print(
             "usage: python -m vietvoice_tts_tpu.models.convert "
-            "<model-bin.pt> <pack_dir> [name_map.json]"
+            "<model-bin.pt | https://…/model-bin.pt> <pack_dir> [name_map.json]"
         )
         raise SystemExit(2)
+    from .download import resolve_tarball
+
+    tar = resolve_tarball(sys.argv[1])  # URL → cached download; path → as-is
     nm = _json.loads(Path(sys.argv[3]).read_text()) if len(sys.argv) == 4 else None
-    out = convert_reference_tarball(sys.argv[1], sys.argv[2], name_map=nm)
+    out = convert_reference_tarball(tar, sys.argv[2], name_map=nm)
     print(_json.dumps(out, indent=2, default=str))

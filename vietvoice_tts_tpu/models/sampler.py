@@ -38,7 +38,8 @@ class SamplerConfig:
     # CFG caching (opt-in): refresh the unconditional velocity only every
     # k-th eval; between refreshes the cond-only forward runs at batch B
     # instead of the CFG-doubled 2B and reuses the cached uncond velocity.
-    # 1 = exact reference semantics.
+    # 1 = exact reference semantics. With uncond_interval > 1, fuse_nfe
+    # unrolls the inner cond-only scan (segments stay rolled).
     uncond_interval: int = 1
 
 
@@ -146,8 +147,13 @@ def flow_matching_sample(
             v_c = cond_eval(x, t_cur)
             return x + dt * cfg_combine(v_c, v_uncond), None
 
-        x, _ = jax.lax.scan(inner, x, (ts[1:], dtss[1:]))
+        x, _ = jax.lax.scan(
+            inner, x, (ts[1:], dtss[1:]), unroll=max(1, cfg.fuse_nfe)
+        )
         return x, None
 
+    # fuse_nfe unrolls the inner cond-only scan so the fused-step knob keeps
+    # its meaning on the CFG-cache path; the segment scan stays rolled (an
+    # unrolled segment would duplicate the full CFG-doubled body k× in HLO).
     x, _ = jax.lax.scan(segment, x, (t_seg, dt_seg))
     return x

@@ -124,19 +124,31 @@ class TTSEngine:
         self.cleanup()
 
     def _load_ref(self, ref_audio) -> np.ndarray:
-        """Decoded reference audio (int16 @ sample_rate), cached per voice."""
-        import hashlib
+        """Decoded reference audio (int16 @ sample_rate), cached per voice.
 
-        key = (
-            ref_audio
-            if isinstance(ref_audio, str)
-            else hashlib.sha1(ref_audio).hexdigest()
-        )
+        Path keys include (mtime_ns, size) so a reference file edited in
+        place is re-decoded instead of serving stale audio; eviction is
+        single-entry LRU."""
+        import hashlib
+        import os
+
+        if isinstance(ref_audio, str):
+            try:
+                st = os.stat(ref_audio)
+                key = (ref_audio, st.st_mtime_ns, st.st_size)
+            except OSError:
+                key = (ref_audio, 0, 0)
+        else:
+            key = hashlib.sha1(ref_audio).hexdigest()
         hit = self.sample_cache.get(key)
         if hit is None:
             hit = self.audio_processor.load_audio(ref_audio, self.config.sample_rate)
-            if len(self.sample_cache) >= 64:
-                self.sample_cache.clear()
+            while len(self.sample_cache) >= 64:
+                self.sample_cache.pop(next(iter(self.sample_cache)))
+            self.sample_cache[key] = hit
+        else:
+            # dict preserves insertion order — re-insert to mark recency.
+            self.sample_cache.pop(key)
             self.sample_cache[key] = hit
         return hit
 
@@ -346,6 +358,13 @@ class TTSEngine:
                     ref_len[row] = p.ref_len
                     total_len[row] = p.total_len
                     seeds[row] = p.index
+                if padded > len(batch_plans):
+                    # Mesh-padding rows (output discarded) take the real
+                    # rows' min ref_len so pick_trim isn't forced to 0 by a
+                    # zero-initialized padding row.
+                    fill = int(ref_len[: len(batch_plans)].min())
+                    ref_len[len(batch_plans):] = fill
+                    total_len[len(batch_plans):] = max(1, min(fill, bucket))
                 trim = self.engine_core.pick_trim(padded, bucket, ref_len)
                 out = self.engine_core.synthesize_batch(
                     wave, ref_len, text_ids, total_len, seed=seeds,

@@ -551,3 +551,19 @@ class EngineCore:
                     )
                     cond = self._cond_eligible(np.full((b,), ref, np.int32), n)
                     self._warm_trims.setdefault((b, n, cond), set()).add(trim)
+                    if cond:
+                        # The dispatch above compiled only the cond-cached
+                        # variant. A request whose reference exceeds the
+                        # cache window (ref_len+4 > cap) falls back to the
+                        # waveform program — compile it now too, so that
+                        # fallback never pays a cold XLA compile on the
+                        # serving path. ref = n-2 guarantees ineligibility.
+                        long_ref = n - 2
+                        self.synthesize_batch(
+                            np.zeros((b, n * hop), np.float32),
+                            np.full((b,), long_ref, np.int32),
+                            np.full((b, n), -1, np.int32),
+                            np.full((b,), n, np.int32),
+                            trim_ref_frames=trim,
+                        )
+                        self._warm_trims.setdefault((b, n, False), set()).add(trim)
