@@ -143,24 +143,9 @@ def _as_latent_layout(a: np.ndarray, n_mels: int) -> np.ndarray:
     return a
 
 
-def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dict:
-    """Integrate OUR sampler from the reference's noise; compare mels.
-
-    ``ref`` needs: audio (f32 [-1,1]), combined_text, noise, ref_mel,
-    ref_signal_len, nfe_step. Returns the comparison report (one dict).
-    ``config_overrides`` reach the ModelConfig — fixture rehearsals pass
-    ``compute_dtype="float32", transfer_dtype="float32"`` to isolate
-    conversion bugs from serving-precision noise; the real gate runs the
-    serving defaults (bf16 compute) because that's what ships."""
+def _latent_inputs(cfg, pack: Path, ref: dict):
+    """Shared input prep: (wave, ref_len, ids, total_len, noise, ref_mel)."""
     from vietvoice_tts_tpu.pipeline.text import TextProcessor
-    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
-    from vietvoice_tts_tpu.runtime.serialization import load_params
-    from vietvoice_tts_tpu.runtime.session import config_from_pack
-
-    pack = Path(pack_dir)
-    cfg = config_from_pack(pack, nfe_step=int(ref["nfe_step"]), **config_overrides)
-    params = load_params(pack / "params.msgpack")
-    core = EngineCore(cfg, params, cfg.vocab_size)
 
     noise = _as_latent_layout(ref["noise"], cfg.n_mels)
     ref_mel = _as_latent_layout(ref["ref_mel"], cfg.n_mels)
@@ -173,8 +158,95 @@ def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dic
 
     tp = TextProcessor(str(pack / "vocab.txt"))
     ids, _ = tp.encode_padded(str(ref["combined_text"]), n_frames)
-
     ref_len = int(ref["ref_signal_len"])
+    return wave, ref_len, ids, n_frames, noise, ref_mel
+
+
+def cfg_cache_sweep(
+    pack_dir,
+    ref: dict,
+    intervals=(1, 2, 4),
+    repeats: int = 3,
+    **config_overrides,
+) -> dict:
+    """Price the CFG cache: mel drift + step time per ``nfe_uncond_interval``.
+
+    For each k the full latent pipeline runs from the SAME noise; k=1 is the
+    exact-reference-semantics baseline (``models/sampler.py``). Reported per
+    k: mel MAE/max-abs drift vs the k=1 latent over the synthesized region,
+    MAE vs the ONNX reference mel when available, and best-of-``repeats``
+    wall time (dispatch+fetch). Drift is REPORTED, not judged — quality
+    acceptance is a decision for real weights (round-3 verdict #5)."""
+    import time as _time
+
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.serialization import load_params
+    from vietvoice_tts_tpu.runtime.session import config_from_pack
+
+    pack = Path(pack_dir)
+    params = load_params(pack / "params.msgpack")
+    rows = []
+    base_latent = None
+    for k in intervals:
+        cfg = config_from_pack(
+            pack,
+            nfe_step=int(ref["nfe_step"]),
+            nfe_uncond_interval=int(k),
+            **config_overrides,
+        )
+        core = EngineCore(cfg, params, cfg.vocab_size)
+        wave, ref_len, ids, n_frames, noise, ref_mel = _latent_inputs(cfg, pack, ref)
+        args = (
+            wave,
+            np.asarray([ref_len], np.int32),
+            ids[None],
+            np.asarray([n_frames], np.int32),
+        )
+        latent = core.mel_latent_batch(*args, x0=noise)  # compile + result
+        times = []
+        for _ in range(max(1, repeats)):
+            t0 = _time.perf_counter()
+            core.mel_latent_batch(*args, x0=noise)
+            times.append(_time.perf_counter() - t0)
+        target = slice(ref_len, n_frames)
+        if base_latent is None:
+            base_latent = latent
+        drift = np.abs(latent[0, target] - base_latent[0, target])
+        vs_ref = np.abs(latent[0, target] - ref_mel[0, target])
+        rows.append(
+            {
+                "uncond_interval": int(k),
+                "mel_mae_vs_exact": float(drift.mean()),
+                "mel_max_abs_vs_exact": float(drift.max()),
+                "mel_mae_vs_onnx": float(vs_ref.mean()),
+                "latent_ms": round(min(times) * 1e3, 2),
+            }
+        )
+    base_ms = rows[0]["latent_ms"]
+    for r in rows:
+        r["speedup_vs_exact"] = round(base_ms / r["latent_ms"], 3) if r["latent_ms"] else None
+    return {"metric": "cfg_cache_price", "frames": int(rows and n_frames), "rows": rows}
+
+
+def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dict:
+    """Integrate OUR sampler from the reference's noise; compare mels.
+
+    ``ref`` needs: audio (f32 [-1,1]), combined_text, noise, ref_mel,
+    ref_signal_len, nfe_step. Returns the comparison report (one dict).
+    ``config_overrides`` reach the ModelConfig — fixture rehearsals pass
+    ``compute_dtype="float32", transfer_dtype="float32"`` to isolate
+    conversion bugs from serving-precision noise; the real gate runs the
+    serving defaults (bf16 compute) because that's what ships."""
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.serialization import load_params
+    from vietvoice_tts_tpu.runtime.session import config_from_pack
+
+    pack = Path(pack_dir)
+    cfg = config_from_pack(pack, nfe_step=int(ref["nfe_step"]), **config_overrides)
+    params = load_params(pack / "params.msgpack")
+    core = EngineCore(cfg, params, cfg.vocab_size)
+
+    wave, ref_len, ids, n_frames, noise, ref_mel = _latent_inputs(cfg, pack, ref)
     latent = core.mel_latent_batch(
         wave,
         np.asarray([ref_len], np.int32),
@@ -219,6 +291,14 @@ def main() -> int:
         help="force the TPU side onto the CPU backend (fixture rehearsals; "
         "the axon plugin ignores JAX_PLATFORMS so this must be set via "
         "jax.config before any device query)",
+    )
+    ap.add_argument(
+        "--cfg-cache-sweep",
+        default=None,
+        metavar="K1,K2,...",
+        help="instead of the golden gate, price the CFG cache: run the "
+        "latent pipeline at each nfe_uncond_interval (e.g. 1,2,4) from the "
+        "same noise and print mel drift vs exact + step-time speedup",
     )
     ap.add_argument(
         "--serving-precision",
@@ -286,6 +366,12 @@ def main() -> int:
         if args.serving_precision
         else {"compute_dtype": "float32", "transfer_dtype": "float32"}
     )
+    if args.cfg_cache_sweep:
+        intervals = tuple(int(x) for x in args.cfg_cache_sweep.split(","))
+        sweep = cfg_cache_sweep(pack, ref, intervals=intervals, **overrides)
+        sweep["precision"] = "serving" if args.serving_precision else "float32"
+        print(json.dumps(sweep))
+        return 0
     result = tpu_side(pack, ref, atol=args.atol, **overrides)
     result["precision"] = "serving" if args.serving_precision else "float32"
     print(json.dumps(result))

@@ -133,3 +133,33 @@ class TestGoldenTpuSide:
             loaded = {k: z[k] for k in z.files}
         result = golden.tpu_side(pack, loaded, atol=1e-2)
         assert result["allclose"] is True and result["mel_mae"] < 1e-5
+
+
+class TestCfgCachePrice:
+    def test_sweep_reports_drift_and_timing(self, pack_and_core):
+        """Round-3 verdict #5: the CFG-cache knob's quality cost must be a
+        reported NUMBER per interval (drift vs exact), not an assertion —
+        acceptance is a real-weights decision. k=1 must be exactly the
+        baseline (zero drift)."""
+        pack, core, cfg = pack_and_core
+        ref = _oracle_ref(core, cfg)
+        report = golden.cfg_cache_sweep(
+            pack, ref, intervals=(1, 2), repeats=1, use_pallas=False
+        )
+        assert report["metric"] == "cfg_cache_price"
+        rows = {r["uncond_interval"]: r for r in report["rows"]}
+        assert set(rows) == {1, 2}
+        assert rows[1]["mel_mae_vs_exact"] == 0.0
+        for r in rows.values():
+            for key in (
+                "mel_mae_vs_exact",
+                "mel_max_abs_vs_exact",
+                "mel_mae_vs_onnx",
+                "latent_ms",
+                "speedup_vs_exact",
+            ):
+                assert key in r and r[key] is not None
+        # k=2 skips uncond refreshes → its latent differs from exact (the
+        # drift is nonzero on any nontrivial weights); its magnitude is
+        # informational, not gated.
+        assert rows[2]["mel_mae_vs_exact"] > 0.0

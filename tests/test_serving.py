@@ -141,7 +141,12 @@ class _StubCore:
         self.config = config
         self.dispatched_rows: list[int] = []
 
-    def synthesize_batch_async(self, wave, ref_len, text_ids, total_len, seed):
+    def pick_trim(self, batch, n_frames, ref_len):
+        return 0  # stub: no warmed trim classes
+
+    def synthesize_batch_async(
+        self, wave, ref_len, text_ids, total_len, seed, trim_ref_frames=0
+    ):
         self.dispatched_rows.append(wave.shape[0])
         out = np.zeros((wave.shape[0], wave.shape[1]), np.int16)
         return lambda: out
@@ -215,7 +220,9 @@ class _FlakyCore(_StubCore):
         self.fail_first = fail_first
         self.calls = 0
 
-    def synthesize_batch_async(self, wave, ref_len, text_ids, total_len, seed):
+    def synthesize_batch_async(
+        self, wave, ref_len, text_ids, total_len, seed, trim_ref_frames=0
+    ):
         self.dispatched_rows.append(wave.shape[0])
         self.calls += 1
         if self.calls <= self.fail_first:
@@ -709,3 +716,57 @@ class TestMultiHostBroadcast:
         worker.stop()
         metas = dcn.sent[::2]
         assert metas and all(int(m[1]) == 0 for m in metas)  # heartbeats
+
+
+class TestBatcherTrimmedFetch:
+    """Round-3 verdict #4b: the on-device reference trim now reaches
+    batcher dispatches. Only WARMED trim classes are used (no surprise
+    compiles); the future's row starts at ``job.trimmed``."""
+
+    def test_warmed_trim_class_engages_and_row_is_shorter(self, core):
+        hop = core.config.hop_length
+        core.warmup(batches=(1,), buckets=(128,), trim_classes=(0, 64))
+        b = MicroBatcher(core, max_batch=1, max_wait_ms=1)
+        try:
+            job = _make_job(core, 128, seed=3)
+            job.ref_len = 70  # ≥ the 64-frame warmed class
+            out = b.submit(job).result(timeout=120)
+            assert job.trimmed == 64
+            assert out.shape == ((128 - 64) * hop,)
+        finally:
+            b.shutdown()
+
+    def test_trimmed_row_equals_untrimmed_suffix(self, core):
+        core.warmup(batches=(1,), buckets=(128,), trim_classes=(0, 64))
+        hop = core.config.hop_length
+        solo = MicroBatcher(core, max_batch=1, max_wait_ms=1)
+        try:
+            j1 = _make_job(core, 128, seed=9)
+            j1.ref_len = 70
+            trimmed = solo.submit(j1).result(timeout=120)
+            assert j1.trimmed == 64
+        finally:
+            solo.shutdown()
+        # Same job through the direct path, untrimmed.
+        j2 = _make_job(core, 128, seed=9)
+        full = core.synthesize_batch(
+            j2.wave[None],
+            np.asarray([70], np.int32),
+            j2.text_ids[None],
+            np.asarray([j2.total_len], np.int32),
+            seed=np.asarray([9], np.uint32),
+        )[0]
+        np.testing.assert_array_equal(trimmed, full[64 * hop :])
+
+    def test_unwarmed_shape_stays_untrimmed(self, core):
+        # Bucket 256 has no warmed trim classes (the session-scoped engine
+        # only warms trims on 128 in these tests) → full-row contract.
+        b = MicroBatcher(core, max_batch=4, max_wait_ms=1)
+        try:
+            job = _make_job(core, 256, seed=4)
+            job.ref_len = 70
+            out = b.submit(job).result(timeout=120)
+            assert job.trimmed == 0
+            assert out.shape == (256 * core.config.hop_length,)
+        finally:
+            b.shutdown()

@@ -314,7 +314,7 @@ class TTSEngine:
         """Route chunks through the shared micro-batcher (serving mode)."""
         from ..serving.batcher import ChunkJob
 
-        futures = []
+        jobs = []
         for p in plans:
             wave, ids = self._chunk_row(p, ref_audio_f32)
             job = ChunkJob(
@@ -325,8 +325,13 @@ class TTSEngine:
                 text_ids=ids,
                 seed=p.index,
             )
-            futures.append((p, self.batcher.submit(job)))
-        return [self._slice_output(p, f.result()) for p, f in futures]
+            self.batcher.submit(job)
+            jobs.append((p, job))
+        # job.trimmed is set by the dispatcher before the future resolves:
+        # the row starts at that frame (on-device reference trim).
+        return [
+            self._slice_output(p, j.future.result(), j.trimmed) for p, j in jobs
+        ]
 
     def _run_chunks(
         self, plans: List[ChunkPlan], ref_audio_f32: np.ndarray
@@ -384,16 +389,17 @@ class TTSEngine:
         if self.batcher is not None:
             from ..serving.batcher import ChunkJob
 
-            futures = []
+            jobs = []
             for p in plans:
                 wave, ids = self._chunk_row(p, ref_audio_f32)
                 job = ChunkJob(
                     bucket=p.bucket, wave=wave, ref_len=p.ref_len,
                     total_len=p.total_len, text_ids=ids, seed=p.index,
                 )
-                futures.append((p, self.batcher.submit(job)))
-            for p, f in futures:
-                yield self._slice_output(p, f.result())
+                self.batcher.submit(job)
+                jobs.append((p, job))
+            for p, j in jobs:
+                yield self._slice_output(p, j.future.result(), j.trimmed)
             return
 
         from collections import deque

@@ -41,6 +41,10 @@ class ChunkJob:
     seed: int
     future: Future = field(default_factory=Future)
     attempts: int = 0  # failed dispatch/fetch attempts so far
+    # Leading frames the device program dropped before the fetch (EngineCore
+    # ``trim_ref_frames``): the resolved row STARTS at this frame. Set by the
+    # dispatcher per batch; callers slice with ``ref_len - trimmed``.
+    trimmed: int = 0
 
 
 # Retry backoff: attempt k waits RETRY_BASE_S * 2**(k-1), capped. Keeps a
@@ -66,12 +70,14 @@ class BatcherStats:
 class MicroBatcher:
     """Queue → bucket-grouped padded batches → fused TPU program.
 
-    Futures resolve to FULL device rows (reference prefix included); the
-    engine slices the target region host-side. The on-device reference
-    trim (EngineCore ``trim_ref_frames``) is deliberately NOT used here:
-    the fetch thread already overlaps D2H with the next batch's compute, so
-    trimming would only change hidden bytes while complicating the future
-    contract shared with the multihost loop's wire format."""
+    Futures resolve to device rows whose leading ``job.trimmed`` reference
+    frames were dropped ON DEVICE (EngineCore ``trim_ref_frames``) before
+    the fetch — callers discard the reference prefix anyway, and at batch 1
+    (the REST latency path) the D2H leg is a large share of end-to-end
+    latency even with the fetch thread overlapping transfers. ``pick_trim``
+    only ever selects classes ``warmup()`` compiled, so dispatch never pays
+    a cold XLA compile; unwarmed shapes run untrimmed (``trimmed == 0``,
+    the old full-row contract)."""
 
     def __init__(
         self,
@@ -246,9 +252,12 @@ class MicroBatcher:
         # never exceeds the configured cap.
         b = len(jobs)
         padded = pad_batch_size(b, self.max_batch)
+        # Padding rows take the real rows' min ref_len (their output is
+        # discarded) so pick_trim isn't forced to 0 by a padding row.
+        fill_ref = min(j.ref_len for j in jobs)
         wave = np.zeros((padded, jobs[0].wave.shape[0]), np.float32)
-        ref_len = np.full((padded,), 8, np.int32)
-        total_len = np.full((padded,), 16, np.int32)
+        ref_len = np.full((padded,), fill_ref, np.int32)
+        total_len = np.full((padded,), max(1, min(fill_ref, bucket)), np.int32)
         text_ids = np.full((padded, bucket), -1, np.int32)
         seeds = np.zeros((padded,), np.uint32)
         for row, j in enumerate(jobs):
@@ -257,11 +266,17 @@ class MicroBatcher:
             total_len[row] = j.total_len
             text_ids[row] = j.text_ids
             seeds[row] = j.seed
+        trim = self.core.pick_trim(padded, bucket, ref_len)
+        for j in jobs:
+            j.trimmed = trim
         fetch = self.core.synthesize_batch_async(
-            wave, ref_len, text_ids, total_len, seed=seeds
+            wave, ref_len, text_ids, total_len, seed=seeds, trim_ref_frames=trim
         )
         self._inflight.put((fetch, jobs))
-        log.debug("dispatched batch: bucket=%d size=%d padded=%d", bucket, b, padded)
+        log.debug(
+            "dispatched batch: bucket=%d size=%d padded=%d trim=%d",
+            bucket, b, padded, trim,
+        )
 
     def _requeue_later(self, job: ChunkJob, delay: float) -> None:
         """Re-queue a failed job after a backoff delay (daemon timer thread).

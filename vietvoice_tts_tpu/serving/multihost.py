@@ -49,6 +49,12 @@ class _Batch:
     n_real: int  # rows that correspond to actual jobs (rest is padding)
 
 
+# Broadcast by the coordinator's stop(): every host's loop exits cleanly at
+# the same protocol step (the only coordinated-shutdown channel a lockstep
+# SPMD loop can have — any host stopping unilaterally desyncs the mesh).
+_STOP = object()
+
+
 class MultiHostServingLoop:
     """Lockstep dispatcher: identical device programs on every host."""
 
@@ -81,6 +87,7 @@ class MultiHostServingLoop:
         self.heartbeat_bucket = heartbeat_bucket or engine_core.config.frame_buckets[0]
         self._queue: "queue.Queue[ChunkJob]" = queue.Queue()
         self._running = False
+        self._stop_requested = False
         self._thread: Optional[threading.Thread] = None
 
     # -- Client side (coordinator only) --------------------------------------
@@ -101,6 +108,18 @@ class MultiHostServingLoop:
         self._thread.start()
 
     def stop(self, timeout: float = 30.0) -> None:
+        """Stop the loop; on a multi-host coordinator, stop the CLUSTER.
+
+        The coordinator broadcasts a stop sentinel on its next iteration so
+        every worker's loop exits at the same protocol step — a coordinator
+        that just stopped locally would leave workers blocked in a broadcast
+        that only fails once the process dies (observed as a Gloo abort).
+        Workers' own ``stop()`` remains local-only (their loop normally ends
+        via the sentinel or fail-stop)."""
+        if self.is_coordinator and self.n_hosts > 1 and self._running:
+            self._stop_requested = True  # the loop broadcasts _STOP
+            if self._thread:
+                self._thread.join(timeout=timeout)
         self._running = False
         if self._thread:
             self._thread.join(timeout=timeout)
@@ -148,7 +167,7 @@ class MultiHostServingLoop:
             batch.seeds[row] = j.seed
         return jobs, batch
 
-    def _broadcast(self, batch: Optional[_Batch]) -> _Batch:
+    def _broadcast(self, batch: Optional[_Batch], stop: bool = False) -> _Batch:
         """Ship host 0's batch to every host (DCN), compactly.
 
         The wave rows carry only the reference-audio prefix (everything past
@@ -160,7 +179,7 @@ class MultiHostServingLoop:
         coordinator included — rebuilds the batch from the broadcast result,
         so the SPMD inputs are bit-identical across hosts."""
         if self.n_hosts == 1:
-            return batch
+            return _STOP if stop else batch
         if self._broadcast_fn is None:
             from jax.experimental import multihost_utils
 
@@ -172,15 +191,23 @@ class MultiHostServingLoop:
         # shape descriptor first so non-coordinators allocate matching
         # buffers. ``b`` is the grid-padded row count (power of two ≤
         # max_batch), so low-traffic steps ship 1–2 rows, not max_batch.
+        # A negative bucket is the cluster-stop sentinel (coordinator
+        # ``stop()``): every host returns _STOP from the same step.
         if self.is_coordinator:
-            ref_cap = int(batch.ref_len.max()) if batch.n_real else 1
-            meta = np.array(
-                [batch.bucket, batch.n_real, ref_cap, batch.wave.shape[0]], np.int64
-            )
+            if stop:
+                meta = np.array([-1, 0, 0, 0], np.int64)
+            else:
+                ref_cap = int(batch.ref_len.max()) if batch.n_real else 1
+                meta = np.array(
+                    [batch.bucket, batch.n_real, ref_cap, batch.wave.shape[0]],
+                    np.int64,
+                )
         else:
             meta = np.zeros(4, np.int64)
         meta = bcast(meta)
         bucket, n_real, ref_cap, b = (int(x) for x in meta)
+        if bucket < 0:
+            return _STOP
 
         if self.is_coordinator:
             payload = (
@@ -235,17 +262,27 @@ class MultiHostServingLoop:
         while self._running:
             jobs: list[ChunkJob] = []
             batch: Optional[_Batch] = None
-            if self.is_coordinator:
+            # The stop decision is taken ONCE per iteration: a stop that
+            # lands mid-drain still lets this iteration's drained jobs ship.
+            stop_now = self._stop_requested
+            if self.is_coordinator and not stop_now:
                 jobs, batch = self._drain()
                 if batch.n_real == 0 and self.n_hosts == 1:
                     self._resolve(pending)
                     pending = None
                     continue  # single host: no heartbeat needed
             try:
-                batch = self._broadcast(batch)
+                batch = self._broadcast(batch, stop=stop_now)
             except Exception as e:  # noqa: BLE001 — a dead DCN wedges the mesh
                 if self._running:
                     log.error("Serving loop broadcast failed, stopping: %s", e)
+                self._running = False
+                break
+            if batch is _STOP:
+                log.info(
+                    "Cluster stop sentinel received on host %d; stopping loop",
+                    self.process_index,
+                )
                 self._running = False
                 break
             if batch is None:
