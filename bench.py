@@ -115,6 +115,43 @@ def bench_long_text(engine, sr: int) -> dict:
     }
 
 
+def bench_streaming(engine, sr: int) -> dict:
+    """Time-to-first-audio for chunked streaming synthesis (the headline
+    serving metric the chunked design exists to win: long texts start
+    playing after ONE chunk's latency instead of the whole utterance's).
+
+    Reports first-piece p50 (TTFA), steady-state inter-piece cadence, and
+    the ratio vs the blocking end-to-end latency of the same text."""
+
+    def run():
+        t0 = time.perf_counter()
+        arrivals, samples = [], 0
+        for piece in engine.synthesize_streaming(LONG_TEXT):
+            arrivals.append(time.perf_counter() - t0)
+            samples += len(piece)
+        return arrivals, samples
+
+    run()  # warm (compiles already done by long_text; first-call caches)
+    runs = [run() for _ in range(3)]
+    ttfa = statistics.median(r[0][0] for r in runs)
+    total = statistics.median(r[0][-1] for r in runs)
+    gaps = [b - a for r in runs for a, b in zip(r[0], r[0][1:])]
+    audio_s = runs[0][1] / sr
+    out = {
+        "pieces": len(runs[0][0]),
+        "ttfa_ms": round(ttfa * 1e3, 1),
+        "total_ms": round(total * 1e3, 1),
+        "gap_p50_ms": round(statistics.median(gaps) * 1e3, 1) if gaps else None,
+        "audio_s": round(audio_s, 2),
+        "rtf": round(audio_s / total, 2),
+        "ttfa_speedup": round(total / ttfa, 2),
+    }
+    log(f"[6 streaming] TTFA p50 {out['ttfa_ms']:.0f} ms vs total "
+        f"{out['total_ms']:.0f} ms ({out['ttfa_speedup']}x sooner), "
+        f"{out['pieces']} pieces, gap p50 {out['gap_p50_ms']} ms")
+    return out
+
+
 def bench_batched(core, hop: int, sr: int, batch: int, n_frames: int,
                   ref_frames: int, label: str) -> dict:
     """Pipelined async dispatch (the micro-batcher's steady-state pattern)."""
@@ -354,6 +391,7 @@ def main() -> None:
         configs["short_sentence"] = bench_short_sentence(engine, sr)
         configs["voice_clone"] = bench_voice_clone(engine, sr, td)
         configs["long_text"] = bench_long_text(engine, sr)
+        configs["streaming"] = bench_streaming(engine, sr)
         configs["batch32"] = bench_batched(
             core, hop, sr, batch=32, n_frames=512, ref_frames=125,
             label="4 batch32",

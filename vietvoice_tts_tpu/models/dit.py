@@ -223,6 +223,28 @@ def _time_embedding(p: dict, t: jnp.ndarray) -> jnp.ndarray:
     return h @ p["mlp2"]["w"] + p["mlp2"]["b"]  # [B, dim] f32
 
 
+def dit_time_modulations(params: Params, cfg: DiTConfig, t: jnp.ndarray):
+    """AdaLN modulations for a batch of flow times t [S] → ([S, depth, 6d],
+    [S, 2d]).
+
+    Hoistable across the NFE solve: the modulation depends only on t, and
+    the sampler's time grid is static — computing all steps' modulations
+    BEFORE the step scan reads the ada weight stack ([depth, d, 6d],
+    ~270 MB in bf16 at full size) ONCE per solve instead of once per step.
+    At 31 evals that removes ~8 GB of pure weight HBM traffic (~10 ms/call
+    on v5e), the dominant non-matmul cost of the batch-1 latency path.
+    FLOPs are unchanged; accumulation stays f32 like the in-block matmul it
+    replaces."""
+    t_emb = jax.nn.silu(_time_embedding(params["time_embed"], t))  # [S, d] f32
+    ada = params["blocks"]["ada"]
+    mods = (
+        jnp.einsum("sd,ldm->slm", t_emb, ada["w"])
+        + ada["b"][None].astype(jnp.float32)
+    )  # [S, depth, 6d] f32
+    fmod = t_emb @ params["final_ada"]["w"] + params["final_ada"]["b"]  # [S, 2d]
+    return mods, fmod
+
+
 def dit_text_embed(params: Params, cfg: DiTConfig, text_ids: jnp.ndarray) -> jnp.ndarray:
     """Character IDs → per-frame text features [B, N, text_dim] (f32).
 
@@ -250,8 +272,14 @@ def dit_forward_embedded(
     text_emb: jnp.ndarray,  # [B, N, text_dim] from dit_text_embed
     t: jnp.ndarray,  # [B] flow time in [0, 1]
     mask: jnp.ndarray,  # [B, N] bool, True = valid frame
+    time_mod=None,  # optional precomputed (mods [depth, B', 6d], fmod [B', 2d])
 ) -> jnp.ndarray:
-    """Predict the flow velocity field; masked frames return exactly 0."""
+    """Predict the flow velocity field; masked frames return exactly 0.
+
+    ``time_mod`` lets the sampler hoist the AdaLN modulation across the NFE
+    solve (``dit_time_modulations``): B' may be 1 (all rows share one t —
+    the inference case) and broadcasts over the batch. When None the
+    modulation is computed here from ``t`` per row (training path)."""
     dtype = cfg.compute_dtype
     b, n, _ = x.shape
     mask_f = mask[..., None].astype(jnp.float32)
@@ -285,17 +313,31 @@ def dit_forward_embedded(
     # Convolutional position embedding (depthwise → Mish → pointwise).
     h = (h + _conv_pos_embed(params["conv_pos"], h)) * mask_f.astype(dtype)
 
-    t_emb = jax.nn.silu(_time_embedding(params["time_embed"], t))  # [B, dim] f32
+    if time_mod is None:
+        # Per-row modulation from t (training: each row has its own time).
+        t_emb = jax.nn.silu(_time_embedding(params["time_embed"], t))  # [B, dim]
+        ada = params["blocks"]["ada"]
+        mods = (
+            jnp.einsum("bd,ldm->lbm", t_emb, ada["w"])
+            + ada["b"][:, None].astype(jnp.float32)
+        )  # [depth, B, 6d] f32
+        fmod = t_emb @ params["final_ada"]["w"] + params["final_ada"]["b"]
+    else:
+        mods, fmod = time_mod  # [depth, B', 6d], [B', 2d]; B' broadcasts
 
     cos_np, sin_np = rope_tables(n, cfg.head_dim)
     cos, sin = jnp.asarray(cos_np), jnp.asarray(sin_np)
     heads, hd = cfg.heads, cfg.head_dim
 
-    def block(h, blk):
+    # ada is consumed above (hoisted out of the scan); dropping it from the
+    # scanned pytree keeps the loop body free of dead weight slices.
+    blocks_scan = {k: v for k, v in params["blocks"].items() if k != "ada"}
+
+    def block(h, xs):
         # h: [B, N, dim] residual stream in compute_dtype (norm math is f32;
         # keeping the stream bf16 halves its HBM traffic — the DiT step is
         # bandwidth-bound at serving shapes).
-        mod = t_emb @ blk["ada"]["w"] + blk["ada"]["b"]  # [B, 6·dim] f32
+        blk, mod = xs  # mod: [B', 6·dim] f32
         sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
 
         u = (_layernorm(h) * (1.0 + sc_a[:, None]) + sh_a[:, None]).astype(dtype)
@@ -346,9 +388,8 @@ def dit_forward_embedded(
         h = h + g_f[:, None].astype(dtype) * f
         return h, None
 
-    h, _ = jax.lax.scan(block, h, params["blocks"])
+    h, _ = jax.lax.scan(block, h, (blocks_scan, mods))
 
-    fmod = t_emb @ params["final_ada"]["w"] + params["final_ada"]["b"]
     sh, sc = jnp.split(fmod, 2, axis=-1)
     h = _layernorm(h) * (1.0 + sc[:, None]) + sh[:, None]
     out = h @ params["final_proj"]["w"] + params["final_proj"]["b"]  # f32

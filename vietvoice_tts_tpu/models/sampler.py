@@ -26,7 +26,12 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .dit import DiTConfig, dit_forward_embedded, dit_text_embed
+from .dit import (
+    DiTConfig,
+    dit_forward_embedded,
+    dit_text_embed,
+    dit_time_modulations,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,26 +102,39 @@ def flow_matching_sample(
     t_grid = sway_time_grid(cfg)
     t_starts, dts = t_grid[:-1], jnp.diff(t_grid)
 
+    # AdaLN modulations for EVERY step, hoisted before the scan: t is shared
+    # by all rows (cond and uncond alike), and the grid is static — so the
+    # ada weight stack is read once per solve, not once per step
+    # (dit_time_modulations). Shapes: [S, depth, 6d], [S, 2d]; the batch
+    # axis broadcasts (B' = 1).
+    mods_all, fmod_all = dit_time_modulations(params, dit_cfg, t_starts)
+
     def cfg_combine(v_cond, v_uncond):
         return v_cond + cfg.cfg_strength * (v_cond - v_uncond)
 
-    def full_eval(x, t_cur):
+    def full_eval(x, t_cur, mod, fmod):
         """CFG-doubled forward → (v_cond, v_uncond)."""
         x2 = jnp.concatenate([x, x], axis=0)
         tb = jnp.full((2 * b,), t_cur, jnp.float32)
-        v2 = dit_forward_embedded(params, dit_cfg, x2, cond2, text_emb2, tb, mask2)
+        v2 = dit_forward_embedded(
+            params, dit_cfg, x2, cond2, text_emb2, tb, mask2,
+            time_mod=(mod[:, None], fmod[None]),
+        )
         return v2[:b], v2[b:]
 
     k = max(1, cfg.uncond_interval)
     if k == 1:
 
-        def euler_step(x, t_dt):
-            t_cur, dt = t_dt
-            v_cond, v_uncond = full_eval(x, t_cur)
+        def euler_step(x, step):
+            t_cur, dt, mod, fmod = step
+            v_cond, v_uncond = full_eval(x, t_cur, mod, fmod)
             return x + dt * cfg_combine(v_cond, v_uncond), None
 
         x, _ = jax.lax.scan(
-            euler_step, x, (t_starts, dts), unroll=max(1, cfg.fuse_nfe)
+            euler_step,
+            x,
+            (t_starts, dts, mods_all, fmod_all),
+            unroll=max(1, cfg.fuse_nfe),
         )
         return x
 
@@ -130,30 +148,43 @@ def flow_matching_sample(
     pad = n_seg * k - n_evals
     t_seg = jnp.pad(t_starts, (0, pad)).reshape(n_seg, k)
     dt_seg = jnp.pad(dts, (0, pad)).reshape(n_seg, k)
+    # Pad steps are identities (dt = 0), so zero modulations are safe.
+    mod_seg = jnp.pad(mods_all, ((0, pad), (0, 0), (0, 0))).reshape(
+        n_seg, k, *mods_all.shape[1:]
+    )
+    fmod_seg = jnp.pad(fmod_all, ((0, pad), (0, 0))).reshape(
+        n_seg, k, fmod_all.shape[1]
+    )
     cond1 = cond2[:b]
     text_emb1 = text_emb2[:b]
 
-    def cond_eval(x, t_cur):
+    def cond_eval(x, t_cur, mod, fmod):
         tb = jnp.full((b,), t_cur, jnp.float32)
-        return dit_forward_embedded(params, dit_cfg, x, cond1, text_emb1, tb, mask)
+        return dit_forward_embedded(
+            params, dit_cfg, x, cond1, text_emb1, tb, mask,
+            time_mod=(mod[:, None], fmod[None]),
+        )
 
     def segment(x, seg):
-        ts, dtss = seg
-        v_cond, v_uncond = full_eval(x, ts[0])
+        ts, dtss, mods, fmods = seg
+        v_cond, v_uncond = full_eval(x, ts[0], mods[0], fmods[0])
         x = x + dtss[0] * cfg_combine(v_cond, v_uncond)
 
-        def inner(x, t_dt):
-            t_cur, dt = t_dt
-            v_c = cond_eval(x, t_cur)
+        def inner(x, step):
+            t_cur, dt, mod, fmod = step
+            v_c = cond_eval(x, t_cur, mod, fmod)
             return x + dt * cfg_combine(v_c, v_uncond), None
 
         x, _ = jax.lax.scan(
-            inner, x, (ts[1:], dtss[1:]), unroll=max(1, cfg.fuse_nfe)
+            inner,
+            x,
+            (ts[1:], dtss[1:], mods[1:], fmods[1:]),
+            unroll=max(1, cfg.fuse_nfe),
         )
         return x, None
 
     # fuse_nfe unrolls the inner cond-only scan so the fused-step knob keeps
     # its meaning on the CFG-cache path; the segment scan stays rolled (an
     # unrolled segment would duplicate the full CFG-doubled body k× in HLO).
-    x, _ = jax.lax.scan(segment, x, (t_seg, dt_seg))
+    x, _ = jax.lax.scan(segment, x, (t_seg, dt_seg, mod_seg, fmod_seg))
     return x
