@@ -381,7 +381,9 @@ def main() -> None:
     # Deploy-style warmup of the latency buckets: compiles the cached-
     # conditioning programs AND registers the trimmed-fetch classes
     # (pick_trim only uses warmed classes). Mirrors WARMUP_ON_START.
-    engine.warmup(batches=(1,), buckets=(384, 448, 704))
+    # 440/544 are where the default-voice short sentence (439 frames) and
+    # the 3 s voice-clone request (~534) land after the bucket-filler work.
+    engine.warmup(batches=(1,), buckets=(384, 440, 544))
 
     configs = {}
     # Headline first (it also warms the big bucket): batch-8 pipelined.

@@ -33,6 +33,7 @@ ref-npz from a known oracle and checks the TPU side reports mel_mae ≈ 0.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import sys
 import tempfile
@@ -228,6 +229,73 @@ def cfg_cache_sweep(
     return {"metric": "cfg_cache_price", "frames": int(rows and n_frames), "rows": rows}
 
 
+def precision_drift(
+    pack_dir,
+    frames=(384, 448, 512, 704),
+    ref_frames: int = 188,
+    seed: int = 0,
+) -> dict:
+    """Serving-precision (bf16 compute / f16 transfer) drift vs f32, per
+    frame bucket, on one pack — no ONNX side needed.
+
+    Both runs integrate from the SAME injected noise on the SAME weights;
+    the only variable is the serving dtype policy, so the reported MAE is
+    exactly the drift `--serving-precision` adds on top of a passing f32
+    golden gate (round-3 verdict #9: an expected-drift envelope per bucket,
+    recorded before real weights arrive)."""
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.serialization import load_params
+    from vietvoice_tts_tpu.runtime.session import config_from_pack
+
+    pack = Path(pack_dir)
+    params = load_params(pack / "params.msgpack")
+    cfg32 = config_from_pack(
+        pack, compute_dtype="float32", transfer_dtype="float32"
+    )
+    cfg_srv = config_from_pack(pack)  # the pack's serving defaults
+    core32 = EngineCore(cfg32, params, cfg32.vocab_size)
+    core_srv = EngineCore(cfg_srv, params, cfg_srv.vocab_size)
+
+    rng = np.random.default_rng(seed)
+    hop = cfg32.hop_length
+    rows = []
+    for n in frames:
+        wave = np.zeros((1, n * hop), np.float32)
+        wave[0, : ref_frames * hop] = rng.uniform(-0.4, 0.4, ref_frames * hop)
+        ids = np.full((1, n), -1, np.int32)
+        ids[0, : n // 2] = rng.integers(1, 60, n // 2)
+        x0 = rng.standard_normal((1, n, cfg32.n_mels)).astype(np.float32)
+        args = (
+            wave,
+            np.asarray([ref_frames], np.int32),
+            ids,
+            np.asarray([n], np.int32),
+        )
+        import jax
+
+        # True-f32 baseline: DEFAULT precision would run the MXU in bf16
+        # even on f32 arrays (see tpu_side) — the drift would measure ~0.
+        with jax.default_matmul_precision("highest"):
+            lat32 = core32.mel_latent_batch(*args, x0=x0)
+        lat_srv = core_srv.mel_latent_batch(*args, x0=x0)
+        d = np.abs(lat32[0, ref_frames:] - lat_srv[0, ref_frames:])
+        scale = float(np.abs(lat32[0, ref_frames:]).mean())
+        rows.append(
+            {
+                "frames": int(n),
+                "mel_mae": float(d.mean()),
+                "mel_max_abs": float(d.max()),
+                "rel_mae": float(d.mean() / scale) if scale else None,
+            }
+        )
+    return {
+        "metric": "serving_precision_drift",
+        "compute_dtype": str(cfg_srv.compute_dtype),
+        "ref_frames": ref_frames,
+        "rows": rows,
+    }
+
+
 def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dict:
     """Integrate OUR sampler from the reference's noise; compare mels.
 
@@ -237,6 +305,8 @@ def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dic
     ``compute_dtype="float32", transfer_dtype="float32"`` to isolate
     conversion bugs from serving-precision noise; the real gate runs the
     serving defaults (bf16 compute) because that's what ships."""
+    import jax
+
     from vietvoice_tts_tpu.runtime.engine_core import EngineCore
     from vietvoice_tts_tpu.runtime.serialization import load_params
     from vietvoice_tts_tpu.runtime.session import config_from_pack
@@ -247,13 +317,26 @@ def tpu_side(pack_dir, ref: dict, atol: float = 1e-2, **config_overrides) -> dic
     core = EngineCore(cfg, params, cfg.vocab_size)
 
     wave, ref_len, ids, n_frames, noise, ref_mel = _latent_inputs(cfg, pack, ref)
-    latent = core.mel_latent_batch(
-        wave,
-        np.asarray([ref_len], np.int32),
-        ids[None],
-        np.asarray([n_frames], np.int32),
-        x0=noise,
+    # On TPU, f32 arrays still hit the MXU at DEFAULT precision — bf16
+    # inputs with f32 accumulation — which drifts ~5e-3 over a full-depth
+    # 31-step solve and can FAIL the 1e-2 gate even with perfect weights
+    # (found by the full-spec dress rehearsal; CPU runs were exact).
+    # The f32 numerics mode therefore forces 'highest' (bf16x6 passes,
+    # IEEE-f32-equivalent); serving-precision mode measures reality.
+    f32_mode = str(cfg.compute_dtype) == "float32"
+    ctx = (
+        jax.default_matmul_precision("highest")
+        if f32_mode
+        else contextlib.nullcontext()
     )
+    with ctx:
+        latent = core.mel_latent_batch(
+            wave,
+            np.asarray([ref_len], np.int32),
+            ids[None],
+            np.asarray([n_frames], np.int32),
+            x0=noise,
+        )
 
     target = slice(ref_len, n_frames)
     diff = np.abs(latent[0, target] - ref_mel[0, target])
@@ -293,6 +376,13 @@ def main() -> int:
         "jax.config before any device query)",
     )
     ap.add_argument(
+        "--precision-drift",
+        default=None,
+        metavar="N1,N2,...",
+        help="instead of the golden gate, measure bf16-serving vs f32 mel "
+        "drift per frame bucket on --pack (no ONNX side needed)",
+    )
+    ap.add_argument(
         "--cfg-cache-sweep",
         default=None,
         metavar="K1,K2,...",
@@ -316,6 +406,13 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if args.precision_drift:
+        if not args.pack:
+            return _skip("--precision-drift needs --pack")
+        frames = tuple(int(x) for x in args.precision_drift.split(","))
+        print(json.dumps(precision_drift(args.pack, frames=frames)))
+        return 0
 
     # -- acquire reference-side arrays ---------------------------------------
     if args.ref_npz:

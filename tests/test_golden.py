@@ -163,3 +163,19 @@ class TestCfgCachePrice:
         # drift is nonzero on any nontrivial weights); its magnitude is
         # informational, not gated.
         assert rows[2]["mel_mae_vs_exact"] > 0.0
+
+
+class TestPrecisionDrift:
+    def test_reports_per_bucket_drift(self, pack_and_core):
+        """Round-3 verdict #9: serving-precision drift is a recorded number
+        per bucket. On the tiny pack the serving default equals the tiny
+        config only in dtype policy; the structure (and f32≈0 sanity) is
+        what's asserted here — full-size numbers live in the runbook."""
+        pack, _core, _cfg = pack_and_core
+        report = golden.precision_drift(pack, frames=(128,), ref_frames=32)
+        assert report["metric"] == "serving_precision_drift"
+        (row,) = report["rows"]
+        assert row["frames"] == 128
+        assert row["mel_mae"] >= 0.0
+        assert row["mel_max_abs"] >= row["mel_mae"]
+        assert row["rel_mae"] is not None

@@ -88,6 +88,13 @@ class ModelConfig:
     # ---- TPU runtime policy (replaces ORT session options,
     #      reference model_config.py:51-55) ----
     compute_dtype: str = "bfloat16"  # matmul/activation dtype inside the DiT
+    # LayerNorm statistics dtype inside the DiT blocks. float32 (default)
+    # matches the numerics-gate posture; "bfloat16" is a PRICED opt-in:
+    # measured on the real chip at b1@448 it saves ~6 ms/solve (the norm
+    # upcast traffic) at ~2.3e-3 mel MAE extra serving drift on random
+    # weights — inside the 1e-2 gate, but enable only after real-weight
+    # quality review (same policy as nfe_uncond_interval).
+    norm_dtype: str = "float32"
     param_dtype: str = "float32"  # master parameter dtype on HBM
     # Static mel-frame buckets: every chunk is padded up to one of these so
     # XLA compiles a bounded set of programs (no dynamic shapes on TPU).
@@ -98,8 +105,14 @@ class ModelConfig:
     # latency waste. Above 768 traffic is batched long-text chunks where
     # per-row padding amortizes. Each bucket is one more XLA compile per
     # batch size — amortized by the persistent compile cache.
+    # 440 and 544 are latency-band fillers measured off real traffic: the
+    # default-voice short sentence plans to 439 frames (188 ref + 251
+    # target) and a 3 s voice-clone request to ~534 — without them those
+    # land in 448/576 and pay 2-8% pure padding compute at batch 1. Buckets
+    # need only be 8-multiples (Mosaic sublane tiling); the trimmed-fetch
+    # grid stays 64-based independently.
     frame_buckets: tuple[int, ...] = (
-        256, 384, 448, 512, 576, 640, 704, 768, 1024, 2048
+        256, 384, 440, 448, 512, 544, 576, 640, 704, 768, 1024, 2048
     )
     max_batch_size: int = 8
     use_pallas: bool = True  # fused Pallas kernels where available (TPU only)

@@ -74,6 +74,7 @@ class EngineCore:
             text_conv_layers=config.text_conv_layers,
             vocab_size=vocab_size,
             compute_dtype=jnp.dtype(config.compute_dtype),
+            norm_dtype=jnp.dtype(config.norm_dtype),
             use_pallas=config.use_pallas and on_tpu,
         )
         if mesh is not None and config.sequence_parallel:
