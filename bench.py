@@ -389,6 +389,12 @@ def main() -> None:
     # Headline first (it also warms the big bucket): batch-8 pipelined.
     headline = bench_batched(core, hop, sr, batch=8, n_frames=1024,
                              ref_frames=250, label="0 headline batch8")
+    # batch-64 @ 512: double the rows of the BASELINE batch32 config at the
+    # same latent volume per row — more MXU work per weight read. The
+    # BASELINE "batch32" entry below stays at 32 rows; this one only
+    # competes for the headline.
+    batch64 = bench_batched(core, hop, sr, batch=64, n_frames=512,
+                            ref_frames=125, label="0 headline batch64")
     with tempfile.TemporaryDirectory() as td:
         configs["short_sentence"] = bench_short_sentence(engine, sr)
         configs["voice_clone"] = bench_voice_clone(engine, sr, td)
@@ -403,8 +409,9 @@ def main() -> None:
 
     # Headline = best sustained pipelined throughput across batched configs
     # (batch32 @ 512 frames beats batch8 @ 1024 on v5e: more rows per MXU
-    # pass at the same latent volume).
-    best = max((headline, configs["batch32"]), key=lambda c: c["rtf"])
+    # pass at the same latent volume; batch64 amortizes weight reads
+    # further when HBM allows).
+    best = max((headline, batch64, configs["batch32"]), key=lambda c: c["rtf"])
     rtf = best["rtf"]
     baseline_rtf = 20.0  # driver target (BASELINE.md)
     print(
@@ -420,6 +427,7 @@ def main() -> None:
                 "batch": best["batch"],
                 "frames": best["frames"],
                 "batch8_rtf": headline["rtf"],
+                "batch64_rtf": batch64["rtf"],
                 "configs": configs,
             }
         )

@@ -116,9 +116,10 @@ class TestTrimmedFetch:
 
     def test_trim_validation(self, core):
         wave, ref_len, ids, total = _batch(core, b=1, ref_frames=16)
-        with pytest.raises(ValueError, match="64-multiple"):
+        with pytest.raises(ValueError, match="32-multiple"):
             core.synthesize_batch(wave, ref_len, ids, total, trim_ref_frames=63)
-        with pytest.raises(ValueError, match="64-multiple"):
+        with pytest.raises(ValueError, match="32-multiple"):
+            # a 32-multiple trim larger than ref_len (16) must also fail
             core.synthesize_batch(wave, ref_len, ids, total, trim_ref_frames=64)
 
     def test_pick_trim_only_returns_warmed_classes(self, core):

@@ -197,3 +197,48 @@ class TestResolveTarball:
     def test_default_url_matches_reference(self):
         assert DEFAULT_MODEL_URL.endswith("/model-bin.pt")
         assert "VietVoice-TTS" in DEFAULT_MODEL_URL
+
+
+class TestModelConfigParity:
+    """ModelConfig.ensure_model_downloaded — the reference's entry point
+    (model_config.py:71-104), explicit here (never implicit on init)."""
+
+    def test_fetches_into_cache_and_sets_onnx_path(self, tmp_path, monkeypatch):
+        from vietvoice_tts_tpu.config import ModelConfig
+        from vietvoice_tts_tpu.models import download as dl
+
+        calls = {}
+
+        def fake_fetch(url, dest, **kw):
+            calls["url"] = url
+            p = tmp_path / "model-bin.pt"
+            p.write_bytes(b"tar")
+            return p
+
+        monkeypatch.setattr(dl, "ensure_model_downloaded", fake_fetch)
+        cfg = ModelConfig(model_cache_dir=str(tmp_path))
+        out = cfg.ensure_model_downloaded()
+        assert out == str(tmp_path / "model-bin.pt")
+        assert cfg.onnx_model_path == out
+        assert calls["url"] == dl.DEFAULT_MODEL_URL
+
+    def test_existing_onnx_path_short_circuits(self, tmp_path):
+        from vietvoice_tts_tpu.config import ModelConfig
+
+        tar = tmp_path / "local.pt"
+        tar.write_bytes(b"tar")
+        cfg = ModelConfig(
+            model_cache_dir=str(tmp_path), onnx_model_path=str(tar)
+        )
+        assert cfg.ensure_model_downloaded() == str(tar)
+
+    def test_construction_never_touches_network(self, monkeypatch):
+        import urllib.request
+
+        from vietvoice_tts_tpu.config import ModelConfig
+
+        def boom(*a, **k):  # pragma: no cover — must not be called
+            raise AssertionError("network touched at config construction")
+
+        monkeypatch.setattr(urllib.request, "urlopen", boom)
+        ModelConfig()  # no exception: construction is offline by design

@@ -155,6 +155,10 @@ class ModelConfig:
     # Optional path to the reference's ONNX tarball for weight conversion /
     # numerics golden tests; unused when absent.
     onnx_model_path: Optional[str] = None
+    # URL the tarball is fetched from when ensure_model_downloaded() runs
+    # (reference model_config.py:26). Unlike the reference, construction
+    # NEVER touches the network — conversion is an explicit step here.
+    model_url: Optional[str] = None
 
     def __post_init__(self) -> None:
         # Same validation ranges as the reference (model_config.py:57-63).
@@ -199,6 +203,26 @@ class ModelConfig:
         """Padded batch sizes actually dispatched to the device (see module
         function :func:`batch_grid`)."""
         return batch_grid(self.max_batch_size)
+
+    def ensure_model_downloaded(self) -> str:
+        """Fetch the reference ONNX tarball into the cache; return its path.
+
+        Parity with ``reference model_config.py:71-104`` (progress logging,
+        cache reuse) plus atomic staging and HTTP-Range resume
+        (``models/download.py``). Unlike the reference this is NEVER called
+        implicitly — zero-egress environments construct configs freely;
+        conversion day calls it (or the download CLI) explicitly. Sets
+        ``onnx_model_path`` to the fetched tarball."""
+        from .models.download import DEFAULT_MODEL_URL, ensure_model_downloaded
+
+        if self.onnx_model_path and Path(self.onnx_model_path).exists():
+            return self.onnx_model_path
+        path = ensure_model_downloaded(
+            url=self.model_url or DEFAULT_MODEL_URL,
+            dest=Path(self.model_cache_dir).expanduser() / "model-bin.pt",
+        )
+        self.onnx_model_path = str(path)
+        return self.onnx_model_path
 
     # -- Validation against a reference audio file ---------------------------
 

@@ -170,39 +170,44 @@ class AudioProcessor:
         """
         n_fade = int(cross_fade_duration * sample_rate)
         native = _native_dsp()
+        # Only the fade window is ever held back: chunk k's body is emitted
+        # the moment chunk k arrives (time-to-first-audio = ONE chunk's
+        # latency), and the held window is exactly what the next pairwise
+        # join needs — the join math sees the same overlap samples as the
+        # batch path, so the total stream stays bit-identical to it.
         tail: np.ndarray | None = None
         for raw in chunks:
             w = AudioProcessor.fix_clipped_audio(np.asarray(raw).reshape(-1))
             if tail is None:
-                tail = w
-                continue
-            n = min(n_fade, len(tail), len(w))
-            if n <= 0:
-                yield tail
-                tail = w
-                continue
-            if native is not None:
-                # Pairwise native join keeps the stream bit-identical to the
-                # batch path (which uses the same C++ kernel): emit
-                # tail[:-n] + overlap, hold back the (RMS-scaled) remainder.
-                joined = native.crossfade_concat([tail, w], cross_fade_duration, sample_rate)
-                # tail[:-n] + n overlap samples == len(tail) samples are final.
-                yield joined[: len(tail)]
-                tail = joined[len(tail) :]
-                continue
-            prev_overlap = tail[-n:].astype(np.float32)
-            next_overlap = w[:n].astype(np.float32)
-            prev_rms = np.sqrt(np.mean(prev_overlap**2))
-            next_rms = np.sqrt(np.mean(next_overlap**2))
-            if prev_rms > 100 and next_rms > 100:
-                ratio = float(np.clip(prev_rms / next_rms, 0.7, 1.5))
-                w = (w.astype(np.float32) * ratio).astype(np.int16)
-                next_overlap = w[:n].astype(np.float32)
-            theta = np.linspace(0.0, np.pi / 2, n)
-            overlap = (
-                prev_overlap * np.cos(theta) ** 2 + next_overlap * np.sin(theta) ** 2
-            ).astype(np.int16)
-            yield np.concatenate([tail[:-n], overlap])
-            tail = w[n:]
-        if tail is not None:
+                merged = w
+            else:
+                n = min(n_fade, len(tail), len(w))
+                if n <= 0:
+                    merged = np.concatenate([tail, w])
+                elif native is not None:
+                    # Pairwise native join (same C++ kernel as the batch
+                    # path): RMS-matched equal-power fade over the overlap.
+                    merged = native.crossfade_concat(
+                        [tail, w], cross_fade_duration, sample_rate
+                    )
+                else:
+                    prev_overlap = tail[-n:].astype(np.float32)
+                    next_overlap = w[:n].astype(np.float32)
+                    prev_rms = np.sqrt(np.mean(prev_overlap**2))
+                    next_rms = np.sqrt(np.mean(next_overlap**2))
+                    if prev_rms > 100 and next_rms > 100:
+                        ratio = float(np.clip(prev_rms / next_rms, 0.7, 1.5))
+                        w = (w.astype(np.float32) * ratio).astype(np.int16)
+                        next_overlap = w[:n].astype(np.float32)
+                    theta = np.linspace(0.0, np.pi / 2, n)
+                    overlap = (
+                        prev_overlap * np.cos(theta) ** 2
+                        + next_overlap * np.sin(theta) ** 2
+                    ).astype(np.int16)
+                    merged = np.concatenate([tail[:-n], overlap, w[n:]])
+            hold = min(n_fade, len(merged))
+            if len(merged) > hold:
+                yield merged[: len(merged) - hold]
+            tail = merged[len(merged) - hold :]
+        if tail is not None and len(tail):
             yield tail

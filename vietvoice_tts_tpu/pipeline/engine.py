@@ -86,7 +86,7 @@ class TTSEngine:
         The default batch grid is exactly the set of padded row counts the
         micro-batcher dispatches (powers of two capped at max_batch_size),
         so no request-time batch shape pays a cold compile. The default
-        trim classes are {0, default-voice ref floor}: batch-1 programs
+        trim classes are {0, 256, default-voice ref floor} (32-frame grid): batch-1 programs
         additionally compile a trimmed-fetch variant matched to the catalog
         default voice, so single-request latency skips fetching the
         reference prefix it would discard anyway."""
@@ -101,7 +101,7 @@ class TTSEngine:
                 ref_audio, _ = self.model_session_manager.select_sample()
                 ref_int16 = self._load_ref(ref_audio)
                 ref_frames = len(ref_int16) // self.config.hop_length + 1
-                trim_classes.add(ref_frames // 64 * 64)
+                trim_classes.add(ref_frames // 32 * 32)
             except Exception:  # pragma: no cover — warmup stays best-effort
                 log.warning("Could not derive default-voice trim class")
         self.engine_core.warmup(

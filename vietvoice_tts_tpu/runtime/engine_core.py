@@ -315,7 +315,7 @@ class EngineCore:
         return not (ref_len + margin > min(self._cond_cap_frames, n_frames)).any()
 
     def pick_trim(self, batch: int, n_frames: int, ref_len: np.ndarray) -> int:
-        """Largest WARMED trim class ≤ every row's ref_len (64-frame grid).
+        """Largest WARMED trim class ≤ every row's ref_len (32-frame grid).
 
         Trim variants are full chunk-program compiles (minutes on a small
         host), so requests only ever use classes that warmup() registered —
@@ -324,7 +324,7 @@ class EngineCore:
         if self.mesh is not None:
             return 0
         ref_len = np.asarray(ref_len, np.int32)
-        want = int(ref_len.min()) // 64 * 64
+        want = int(ref_len.min()) // 32 * 32
         if want <= 0:
             return 0
         cond = self._cond_eligible(ref_len, n_frames)
@@ -399,7 +399,7 @@ class EngineCore:
         per-utterance seeds; per-row noise derivation makes each row's output
         independent of batch composition.
 
-        ``trim_ref_frames`` (≤ every row's ref_len, 64-frame grid) makes the
+        ``trim_ref_frames`` (≤ every row's ref_len, 32-frame grid) makes the
         program drop that many leading frames before the fetch: callers
         discard the reference prefix anyway, and device→host bytes are the
         latency path's scarcest resource on a tunneled link (~44 ms for a
@@ -428,9 +428,9 @@ class EngineCore:
         if trim:
             if self.mesh is not None:
                 raise ValueError("trim_ref_frames is not supported under a mesh")
-            if trim % 64 or (ref_len < trim).any():
+            if trim % 32 or (ref_len < trim).any():
                 raise ValueError(
-                    f"trim_ref_frames={trim} must be a 64-multiple "
+                    f"trim_ref_frames={trim} must be a 32-multiple "
                     f"≤ every row's ref_len"
                 )
         small = (
@@ -531,7 +531,7 @@ class EngineCore:
         """Ahead-of-time compile the configured shape buckets.
 
         ``trim_classes`` additionally compiles trimmed-fetch program
-        variants (64-frame grid) for BATCH-1 programs — the latency path —
+        variants (32-frame grid) for BATCH-1 programs — the latency path —
         and registers them with pick_trim. The engine derives the useful
         class from the default catalog voice's reference length; anything
         not registered here simply runs untrimmed."""
@@ -540,7 +540,7 @@ class EngineCore:
         for b in batches:
             for n in buckets:
                 for trim in sorted(set(trim_classes)):
-                    if trim and (b != 1 or trim % 64 or trim + 16 >= n):
+                    if trim and (b != 1 or trim % 32 or trim + 16 >= n):
                         continue
                     ref = max(8, trim + 8)
                     self.synthesize_batch(
