@@ -184,6 +184,8 @@ def cfg_cache_sweep(
     from vietvoice_tts_tpu.runtime.serialization import load_params
     from vietvoice_tts_tpu.runtime.session import config_from_pack
 
+    import jax
+
     pack = Path(pack_dir)
     params = load_params(pack / "params.msgpack")
     rows = []
@@ -203,12 +205,22 @@ def cfg_cache_sweep(
             ids[None],
             np.asarray([n_frames], np.int32),
         )
-        latent = core.mel_latent_batch(*args, x0=noise)  # compile + result
+        # f32 mode wants TRUE f32 (TPU DEFAULT precision runs the MXU in
+        # bf16 even on f32 arrays — same landmine tpu_side guards against);
+        # serving mode measures reality, timings included.
+        ctx = (
+            jax.default_matmul_precision("highest")
+            if str(cfg.compute_dtype) == "float32"
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            latent = core.mel_latent_batch(*args, x0=noise)  # compile + result
         times = []
-        for _ in range(max(1, repeats)):
-            t0 = _time.perf_counter()
-            core.mel_latent_batch(*args, x0=noise)
-            times.append(_time.perf_counter() - t0)
+        with ctx:
+            for _ in range(max(1, repeats)):
+                t0 = _time.perf_counter()
+                core.mel_latent_batch(*args, x0=noise)
+                times.append(_time.perf_counter() - t0)
         target = slice(ref_len, n_frames)
         if base_latent is None:
             base_latent = latent

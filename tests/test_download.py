@@ -242,3 +242,71 @@ class TestModelConfigParity:
 
         monkeypatch.setattr(urllib.request, "urlopen", boom)
         ModelConfig()  # no exception: construction is offline by design
+
+
+class TestNetworkErrorClasses:
+    def test_connection_reset_mid_stream_keeps_partial(self, tmp_path):
+        """ConnectionResetError (an OSError, NOT a URLError) raised by
+        resp.read() must still preserve the partial for resume."""
+
+        class ResetResponse(FakeResponse):
+            def read(self, n):
+                if self.pos >= 4096:
+                    raise ConnectionResetError("peer reset")
+                return super().read(n)
+
+        dest = tmp_path / "m.pt"
+        with pytest.raises(RuntimeError, match="partial kept for resume"):
+            ensure_model_downloaded(
+                url="https://x/m.pt",
+                dest=dest,
+                opener=make_opener([ResetResponse(PAYLOAD)], []),
+            )
+        assert dest.with_suffix(".pt.partial").read_bytes() == PAYLOAD[:4096]
+
+    def test_416_with_complete_partial_finalizes(self, tmp_path):
+        """Crash between last write and rename: the .partial holds the whole
+        file; the resume request gets 416 whose Content-Range confirms the
+        size — finalize instead of wedging forever."""
+        import urllib.error
+
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(PAYLOAD)
+
+        def opener_416(req):
+            raise urllib.error.HTTPError(
+                req.full_url, 416, "Range Not Satisfiable",
+                {"Content-Range": f"bytes */{len(PAYLOAD)}"}, None,
+            )
+
+        out = ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=opener_416
+        )
+        assert out == dest
+        assert dest.read_bytes() == PAYLOAD
+        assert not partial.exists()
+
+    def test_416_with_stale_partial_restarts(self, tmp_path):
+        """416 whose Content-Range disagrees with the partial size: restart
+        from scratch (stale or corrupt partial)."""
+        import urllib.error
+
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(b"x" * 20000)  # larger than the real file
+
+        calls = {"n": 0}
+
+        def opener(req):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise urllib.error.HTTPError(
+                    req.full_url, 416, "Range Not Satisfiable",
+                    {"Content-Range": f"bytes */{len(PAYLOAD)}"}, None,
+                )
+            assert "Range" not in req.headers  # fresh start
+            return FakeResponse(PAYLOAD)
+
+        out = ensure_model_downloaded(url="https://x/m.pt", dest=dest, opener=opener)
+        assert out.read_bytes() == PAYLOAD

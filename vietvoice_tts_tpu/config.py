@@ -110,7 +110,7 @@ class ModelConfig:
     # target) and a 3 s voice-clone request to ~534 — without them those
     # land in 448/576 and pay 2-8% pure padding compute at batch 1. Buckets
     # need only be 8-multiples (Mosaic sublane tiling); the trimmed-fetch
-    # grid stays 64-based independently.
+    # grid (32-frame, runtime/engine_core.pick_trim) is independent.
     frame_buckets: tuple[int, ...] = (
         256, 384, 440, 448, 512, 544, 576, 640, 704, 768, 1024, 2048
     )

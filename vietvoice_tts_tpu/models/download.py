@@ -24,6 +24,7 @@ CLI (also the conversion-day entry — chains straight into preflight)::
 
 from __future__ import annotations
 
+import http.client
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -122,7 +123,33 @@ def ensure_model_downloaded(
                 raise urllib.error.URLError(
                     f"connection closed early ({done}/{total} bytes)"
                 )
-    except urllib.error.URLError as e:
+    except urllib.error.HTTPError as e:
+        if e.code == 416 and offset:
+            # Range past EOF: the partial may already BE the whole file
+            # (crash between the last write and the rename). 416 carries
+            # the real size in Content-Range ("bytes */<total>") — finish
+            # the rename when it matches, restart clean otherwise.
+            rng = (getattr(e, "headers", {}) or {}).get("Content-Range", "")
+            total_s = rng.rpartition("/")[2]
+            if total_s.isdigit() and offset == int(total_s):
+                log.info("Partial download was already complete; finalizing")
+                partial.rename(dest)
+                return dest
+            log.info("Stale .partial (server size %s ≠ %d); restarting", total_s or "?", offset)
+            partial.unlink(missing_ok=True)
+            return ensure_model_downloaded(
+                url=url, dest=dest, resume=resume, progress=progress, opener=opener
+            )
+        if not resume:
+            partial.unlink(missing_ok=True)
+        raise RuntimeError(
+            f"Failed to download model from {url}: {e} "
+            + ("(partial kept for resume)" if resume and partial.exists() else "")
+        ) from e
+    except (urllib.error.URLError, OSError, http.client.HTTPException, TimeoutError) as e:
+        # Network-class failures (URLError, connection resets — OSError
+        # subclasses — short bodies, timeouts): keep the partial so a retry
+        # RESUMES, per the module contract.
         if not resume:
             partial.unlink(missing_ok=True)
         raise RuntimeError(

@@ -187,8 +187,11 @@ def _architecture_checks(arch: dict, vocab_size: Optional[int]) -> dict:
     return result
 
 
-def _weight_coverage(models, tar_path, name_map, vocab_size) -> dict:
-    """Dry-run the converter's leaf resolution; classify each leaf."""
+def _weight_coverage(models, tar_path, name_map, vocab_size, arch) -> dict:
+    """Dry-run the converter's leaf resolution; classify each leaf.
+
+    ``arch`` is the probe result preflight_report already computed (the
+    transformer graph walk is the expensive part — don't repeat it)."""
     from ..config import ModelConfig
     from .convert import (
         _auto_name_map,
@@ -199,7 +202,6 @@ def _weight_coverage(models, tar_path, name_map, vocab_size) -> dict:
     from .dit import DiTConfig, init_dit_params
     from .vocoder import VocoderConfig, init_vocoder_params
 
-    arch = infer_architecture(models)
     try:
         cfg = apply_probed_architecture(None, arch)
     except ValueError:
@@ -331,7 +333,7 @@ def preflight_report(
             )
 
     weights = (
-        _weight_coverage(models, tar_path, name_map, vocab_size)
+        _weight_coverage(models, tar_path, name_map, vocab_size, arch)
         if models
         else None
     )
