@@ -59,9 +59,10 @@ def _timed(fn, reps: int, warm: int = 1):
 
 
 def bench_short_sentence(engine, sr: int) -> dict:
-    # 9 reps: the tunneled link's latency variance is ±5-10 ms run to run;
-    # a 5-rep median still wobbles visibly.
-    p50, (wave, _) = _timed(lambda: engine.synthesize(SHORT_TEXT), reps=9)
+    # 13 reps: the tunneled link's latency variance is ±5-10 ms run to run
+    # (observed p50 range 115-124 ms across three otherwise-identical
+    # round-4 runs); a longer median damps the wobble the driver records.
+    p50, (wave, _) = _timed(lambda: engine.synthesize(SHORT_TEXT), reps=13, warm=2)
     audio_s = len(wave) / sr
     log(f"[1 short_sentence] p50 {p50 * 1e3:.0f} ms, {audio_s:.1f} audio-s "
         f"-> {audio_s / p50:.1f}x realtime")
@@ -192,12 +193,12 @@ def bench_batched(core, hop: int, sr: int, batch: int, n_frames: int,
 
 
 def _rest_sweep_point(api, client, n_requests: int, concurrency: int,
-                      max_wait_ms: float) -> dict:
+                      max_wait_ms: float, max_batch=None) -> dict:
     """One (concurrency, max_wait) measurement: n_requests through the app."""
     import anyio
 
     engine = api.engine
-    engine.enable_micro_batching(max_wait_ms=max_wait_ms)
+    engine.enable_micro_batching(max_batch=max_batch, max_wait_ms=max_wait_ms)
     latencies: list[float] = []
     audio_bytes_total = 0
 
@@ -240,6 +241,7 @@ def _rest_sweep_point(api, client, n_requests: int, concurrency: int,
         "requests": n_requests,
         "concurrency": concurrency,
         "max_wait_ms": max_wait_ms,
+        "max_batch": max_batch or api.config.max_batch_size,
         "requests_per_s": round(n_requests / wall, 2),
         "p50_latency_ms": round(p50 * 1e3, 1),
         "p90_latency_ms": round(p90 * 1e3, 1),
@@ -347,14 +349,23 @@ def bench_rest_serving(api, n_requests: int = 64) -> dict:
         ref_int16.astype(np.float32) / 32768.0, ref_text, sweep_text
     )[0].bucket
     # Warm the FULL batch grid (includes the 3/6 midpoints the batcher now
-    # pads to) at the sweep bucket.
-    engine.warmup(batches=engine.config.batch_grid(), buckets=(bucket,))
+    # pads to) at the sweep bucket, plus the batch-12 point's grid top.
+    from vietvoice_tts_tpu.config import batch_grid as _grid
+
+    engine.warmup(batches=_grid(12), buckets=(bucket,))
 
     client = AsyncTestClient(app_module.app)
     sweep = []
-    for concurrency, wait in ((2, 10.0), (6, 10.0), (12, 10.0), (12, 25.0)):
+    for concurrency, wait, cap in (
+        (2, 10.0, None), (6, 10.0, None), (12, 10.0, None), (12, 25.0, None),
+        # Cap raised past the config default: during a batch's ~0.5 s of
+        # device time the whole c=12 cohort queues, so a 12-cap dispatch
+        # takes them in one padded batch instead of 8+4.
+        (12, 10.0, 12),
+    ):
         sweep.append(
-            _rest_sweep_point(api, client, n_requests, concurrency, wait)
+            _rest_sweep_point(api, client, n_requests, concurrency, wait,
+                              max_batch=cap)
         )
     te._engine = None
     best = max(sweep, key=lambda p: p["rtf"])
