@@ -340,6 +340,17 @@ def dit_forward_embedded(
     # scanned pytree keeps the loop body free of dead weight slices.
     blocks_scan = {k: v for k, v in params["blocks"].items() if k != "ada"}
 
+    # NOTE a fused Pallas AdaLN-norm kernel was tried and REJECTED here
+    # (round 4): parity-correct, but 2 kernels x 22 blocks x 31 steps =
+    # 1364 launches/solve cost ~+45 ms at b1@448 — launch overhead and the
+    # broken XLA fusion swamp the ~6 ms of norm traffic it saves. The
+    # elementwise chain below is what XLA fuses best.
+    def modulated_norm(h, sc, sh):
+        # sc/sh: [B', dim] f32; B' = 1 broadcasts over the batch.
+        return (
+            _layernorm(h, cfg.norm_dtype) * (1.0 + sc[:, None]) + sh[:, None]
+        ).astype(dtype)
+
     def block(h, xs):
         # h: [B, N, dim] residual stream in compute_dtype (norm math is f32;
         # keeping the stream bf16 halves its HBM traffic — the DiT step is
@@ -347,7 +358,7 @@ def dit_forward_embedded(
         blk, mod = xs  # mod: [B', 6·dim] f32
         sh_a, sc_a, g_a, sh_f, sc_f, g_f = jnp.split(mod, 6, axis=-1)
 
-        u = (_layernorm(h, cfg.norm_dtype) * (1.0 + sc_a[:, None]) + sh_a[:, None]).astype(dtype)
+        u = modulated_norm(h, sc_a, sh_a)
         qkv = u @ blk["qkv"]["w"].astype(dtype) + blk["qkv"]["b"].astype(dtype)
         if cfg.seq_mesh is not None:
             from ..parallel.sequence import sp_attention
@@ -389,7 +400,7 @@ def dit_forward_embedded(
         )
         h = h + g_a[:, None].astype(dtype) * attn
 
-        u = (_layernorm(h, cfg.norm_dtype) * (1.0 + sc_f[:, None]) + sh_f[:, None]).astype(dtype)
+        u = modulated_norm(h, sc_f, sh_f)
         f = jax.nn.gelu(u @ blk["ff1"]["w"].astype(dtype) + blk["ff1"]["b"].astype(dtype))
         f = f @ blk["ff2"]["w"].astype(dtype) + blk["ff2"]["b"].astype(dtype)
         h = h + g_f[:, None].astype(dtype) * f
