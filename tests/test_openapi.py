@@ -225,3 +225,42 @@ class TestBodySizeGuard:
         )
         assert sent["status"] == 413
         assert seen["reads"] <= 4  # tripped at ~2×512B, not after 100 chunks
+
+
+class TestTypedPathParams:
+    def _app(self):
+        app = App()
+
+        @app.get("/items/{n:int}")
+        async def item(n) -> JSONResponse:
+            return JSONResponse({"n": n, "type": type(n).__name__})
+
+        @app.get("/files/{rest:path}")
+        async def f(rest) -> JSONResponse:
+            return JSONResponse({"rest": rest})
+
+        return app
+
+    def test_int_param_converted_and_validated(self):
+        from vietvoice_tts_tpu.api.testing import AsyncTestClient
+
+        client = AsyncTestClient(self._app())
+        resp = run(client.get("/items/42"))
+        assert resp.json() == {"n": 42, "type": "int"}
+        # non-numeric doesn't match the int pattern → 404, not a crash
+        assert run(client.get("/items/abc")).status_code == 404
+
+    def test_path_param_crosses_slashes(self):
+        from vietvoice_tts_tpu.api.testing import AsyncTestClient
+
+        client = AsyncTestClient(self._app())
+        resp = run(client.get("/files/a/b/c.wav"))
+        assert resp.json() == {"rest": "a/b/c.wav"}
+
+    def test_unknown_converter_rejected_at_registration(self):
+        app = App()
+        with pytest.raises(ValueError, match="Unknown path-parameter type"):
+
+            @app.get("/x/{y:zzz}")
+            async def h(y):  # pragma: no cover
+                return None

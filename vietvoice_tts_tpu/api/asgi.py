@@ -98,7 +98,17 @@ class File(Response):
         super().__init__(p.read_bytes(), status_code, media_type, headers)
 
 
-_PARAM_RE = re.compile(r"\{(\w+)(?::\w+)?\}")
+_PARAM_RE = re.compile(r"\{(\w+)(?::(\w+))?\}")
+
+# Path-parameter converters, Litestar-style: ``{file_id:str}``,
+# ``{n:int}``, ``{id:uuid}``, ``{rest:path}`` (the last crosses slashes).
+_CONVERTERS: Dict[str, tuple] = {
+    "str": (r"[^/]+", str),
+    "int": (r"[0-9]+", int),
+    "float": (r"[0-9.+-eE]+", float),
+    "uuid": (r"[0-9a-fA-F-]{8,36}", str),
+    "path": (r".+", str),
+}
 
 
 class Route:
@@ -106,7 +116,20 @@ class Route:
         self.method = method
         self.path = path  # original template, kept for the OpenAPI document
         self.handler = handler
-        pattern = _PARAM_RE.sub(r"(?P<\1>[^/]+)", path)
+        self.converters: Dict[str, Callable] = {}
+
+        def sub(m: re.Match) -> str:
+            name, kind = m.group(1), m.group(2) or "str"
+            if kind not in _CONVERTERS:
+                raise ValueError(
+                    f"Unknown path-parameter type '{kind}' in {path!r} "
+                    f"(known: {sorted(_CONVERTERS)})"
+                )
+            sub_pattern, conv = _CONVERTERS[kind]
+            self.converters[name] = conv
+            return f"(?P<{name}>{sub_pattern})"
+
+        pattern = _PARAM_RE.sub(sub, path)
         self.regex = re.compile(f"^{pattern}$")
         # The pydantic model annotated on a parameter named 'data', if any.
         # typing.get_type_hints resolves string annotations (PEP 563 modules).
@@ -168,7 +191,9 @@ class App:
             path_matched = True
             if route.method != method:
                 continue
-            kwargs: Dict[str, Any] = dict(m.groupdict())
+            kwargs: Dict[str, Any] = {
+                k: route.converters.get(k, str)(v) for k, v in m.groupdict().items()
+            }
             if route.body_model is not None:
                 try:
                     payload = json.loads(body or b"{}")
@@ -303,16 +328,17 @@ def openapi_schema(
             "operationId": f"{route.method.lower()}_{route.handler.__name__}",
             "summary": (inspect.getdoc(route.handler) or "").split("\n")[0],
         }
-        params = _PARAM_RE.findall(route.path)
+        params = _PARAM_RE.findall(route.path)  # [(name, kind), ...]
         if params:
+            _json_types = {"int": "integer", "float": "number"}
             op["parameters"] = [
                 {
-                    "name": p,
+                    "name": name,
                     "in": "path",
                     "required": True,
-                    "schema": {"type": "string"},
+                    "schema": {"type": _json_types.get(kind, "string")},
                 }
-                for p in params
+                for name, kind in params
             ]
         if route.body_model is not None:
             op["requestBody"] = {
@@ -344,57 +370,7 @@ def openapi_schema(
     }
 
 
-class TestResponse:
-    def __init__(self, status_code: int, body: bytes, headers: Dict[str, str]):
-        self.status_code = status_code
-        self.content = body
-        self.headers = headers
-
-    def json(self):
-        return json.loads(self.content)
-
-    @property
-    def text(self) -> str:
-        return self.content.decode()
-
-
-class AsyncTestClient:
-    """In-process ASGI client (like litestar.testing.AsyncTestClient)."""
-
-    def __init__(self, app: App):
-        self.app = app
-
-    async def __aenter__(self):
-        return self
-
-    async def __aexit__(self, *exc):
-        return False
-
-    async def request(self, method: str, path: str, json_body: Any = None) -> TestResponse:
-        body = json.dumps(json_body).encode() if json_body is not None else b""
-        sent: Dict[str, Any] = {"status": 500, "headers": {}, "body": b""}
-        received = [
-            {"type": "http.request", "body": body, "more_body": False}
-        ]
-
-        async def receive():
-            return received.pop(0) if received else {"type": "http.disconnect"}
-
-        async def send(message):
-            if message["type"] == "http.response.start":
-                sent["status"] = message["status"]
-                sent["headers"] = {
-                    k.decode(): v.decode() for k, v in message.get("headers", [])
-                }
-            elif message["type"] == "http.response.body":
-                sent["body"] += message.get("body", b"")
-
-        scope = {"type": "http", "method": method, "path": path}
-        await self.app(scope, receive, send)
-        return TestResponse(sent["status"], sent["body"], sent["headers"])
-
-    async def get(self, path: str) -> TestResponse:
-        return await self.request("GET", path)
-
-    async def post(self, path: str, json: Any = None) -> TestResponse:
-        return await self.request("POST", path, json_body=json)
+# Backwards-compatible re-exports: the in-process client grew up in this
+# module; it now lives in api/testing.py so the production surface carries
+# no test machinery.
+from .testing import AsyncTestClient, TestResponse  # noqa: E402,F401
