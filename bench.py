@@ -46,6 +46,30 @@ LONG_TEXT = (
 )
 
 
+def measure_link_rtt(reps: int = 15) -> dict:
+    """Raw host↔device round-trip over the tunnel (4-byte fetch p50/p90).
+
+    The tunneled link drifts through slow phases worth ±30 ms per RPC
+    (observed same-code short_sentence p50 of 115–129 ms across runs).
+    Recording the link's state alongside the numbers makes a slow-phase
+    BENCH record self-documenting instead of looking like a regression."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.device_put(jnp.zeros((1,), jnp.int32))
+    jax.device_get(x)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(x)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "rtt_p50_ms": round(statistics.median(times) * 1e3, 2),
+        "rtt_p90_ms": round(times[max(0, int(len(times) * 0.9) - 1)] * 1e3, 2),
+    }
+
+
 def _timed(fn, reps: int, warm: int = 1):
     """(p50_seconds, last_result) over ``reps`` timed calls."""
     for _ in range(warm):
@@ -82,11 +106,14 @@ def bench_voice_clone(engine, sr: int, tmpdir: str) -> dict:
     write_wav(clip, path, sr)
     ref_text = "Đây là giọng nói tham khảo do người dùng cung cấp."
 
+    # 11 reps: the tunneled link drifts through slow phases worth ±30 ms;
+    # the first rep additionally pays the cond-cache miss for the new voice.
     p50, (wave, _) = _timed(
         lambda: engine.synthesize(
             SHORT_TEXT, reference_audio=path, reference_text=ref_text
         ),
-        reps=7,
+        reps=11,
+        warm=2,
     )
     audio_s = len(wave) / sr
     log(f"[2 voice_clone] p50 {p50 * 1e3:.0f} ms, {audio_s:.1f} audio-s "
@@ -381,7 +408,8 @@ def main() -> None:
     from vietvoice_tts_tpu.config import ModelConfig
 
     backend = jax.default_backend()
-    log(f"backend={backend} devices={jax.devices()}")
+    link = measure_link_rtt()
+    log(f"backend={backend} devices={jax.devices()} link_rtt_p50={link['rtt_p50_ms']}ms")
 
     cfg = ModelConfig()
     api = TTSApi(cfg)
@@ -439,6 +467,7 @@ def main() -> None:
                 "frames": best["frames"],
                 "batch8_rtf": headline["rtf"],
                 "batch64_rtf": batch64["rtf"],
+                "link": {**link, "after": measure_link_rtt()},
                 "configs": configs,
             }
         )
