@@ -56,12 +56,16 @@ def measure_link_rtt(reps: int = 15) -> dict:
     import jax
     import jax.numpy as jnp
 
+    # A FRESH result per rep: jax caches the host copy of a fetched array,
+    # so re-fetching the same buffer measures nothing. dispatch+fetch of a
+    # trivial jitted add is the per-call overhead serving actually pays.
+    inc = jax.jit(lambda a, b: a + b)
     x = jax.device_put(jnp.zeros((1,), jnp.int32))
-    jax.device_get(x)
+    jax.device_get(inc(x, 0))
     times = []
-    for _ in range(reps):
+    for i in range(reps):
         t0 = time.perf_counter()
-        jax.device_get(x)
+        jax.device_get(inc(x, i + 1))
         times.append(time.perf_counter() - t0)
     times.sort()
     return {
