@@ -178,6 +178,55 @@ class TestResume:
         )
         assert dest.read_bytes() == PAYLOAD
 
+    def test_resume_sends_if_range_validator(self, tmp_path):
+        """ADVICE r4: the validator captured when the .partial started is
+        sent back as If-Range so a changed remote can't be silently spliced."""
+        dest = tmp_path / "m.pt"
+        first = FakeResponse(PAYLOAD, fail_after=4096)
+        first.headers["ETag"] = '"v1"'
+        with pytest.raises(RuntimeError):
+            ensure_model_downloaded(
+                url="https://x/m.pt", dest=dest, opener=make_opener([first], [])
+            )
+        meta = dest.with_suffix(".pt.partial.meta")
+        assert meta.exists()
+        seen: list = []
+        rest = FakeResponse(PAYLOAD[4096:], status=206)
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([rest], seen)
+        )
+        assert seen[0].headers.get("If-range") == '"v1"'
+        assert dest.read_bytes() == PAYLOAD
+        assert not meta.exists()  # cleaned up on completion
+
+    def test_changed_remote_restarts_instead_of_splicing(self, tmp_path):
+        """If-Range on a changed file makes the server reply 200 with the
+        full new body; the stale partial must be discarded, not appended."""
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(b"OLDVERSION" * 100)
+        meta = dest.with_suffix(".pt.partial.meta")
+        meta.write_text('{"etag": "\\"v1\\""}')
+        full = FakeResponse(PAYLOAD, status=200)  # validator mismatch → 200
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([full], [])
+        )
+        assert dest.read_bytes() == PAYLOAD
+        assert not meta.exists()
+
+    def test_content_range_start_mismatch_restarts(self, tmp_path):
+        """A 206 whose Content-Range start disagrees with the partial size
+        would corrupt the file if appended — the download must restart."""
+        dest = tmp_path / "m.pt"
+        partial = dest.with_suffix(".pt.partial")
+        partial.write_bytes(PAYLOAD[:4096])
+        resp = FakeResponse(PAYLOAD, status=206)
+        resp.headers["Content-Range"] = f"bytes 0-{len(PAYLOAD) - 1}/{len(PAYLOAD)}"
+        ensure_model_downloaded(
+            url="https://x/m.pt", dest=dest, opener=make_opener([resp], [])
+        )
+        assert dest.read_bytes() == PAYLOAD
+
 
 class TestResolveTarball:
     def test_local_path_passthrough(self, tmp_path):

@@ -264,3 +264,30 @@ class TestTypedPathParams:
             @app.get("/x/{y:zzz}")
             async def h(y):  # pragma: no cover
                 return None
+
+    def test_float_param_converts_and_rejects_nonnumeric(self):
+        """ADVICE r4: 'e', '+', '1.2.3' matched the old float pattern and
+        blew up in float() as a server-level 500; they must 404."""
+        from vietvoice_tts_tpu.api.testing import AsyncTestClient
+
+        app = App()
+
+        @app.get("/speed/{x:float}")
+        async def speed(x) -> JSONResponse:
+            return JSONResponse({"x": x, "type": type(x).__name__})
+
+        client = AsyncTestClient(app)
+        assert run(client.get("/speed/1.5")).json() == {"x": 1.5, "type": "float"}
+        assert run(client.get("/speed/-2e3")).json()["x"] == -2000.0
+        assert run(client.get("/speed/.5")).json()["x"] == 0.5
+        for bad in ("e", "+", "-", "1.2.3", "1e", "--1", "nan"):
+            resp = run(client.get(f"/speed/{bad}"))
+            assert resp.status_code == 404, (bad, resp.status_code)
+
+    def test_openapi_paths_strip_converter_suffixes(self):
+        from vietvoice_tts_tpu.api.asgi import openapi_schema
+
+        doc = openapi_schema(self._app())
+        assert "/items/{n}" in doc["paths"]
+        assert "/items/{n:int}" not in doc["paths"]
+        assert "/files/{rest}" in doc["paths"]

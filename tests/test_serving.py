@@ -485,6 +485,26 @@ class TestMultiHostLoop:
         with pytest.raises(RuntimeError):
             loop.submit(_make_job(core, 128))
 
+    def test_stop_fails_queued_jobs_instead_of_hanging(self, core):
+        """ADVICE r4: jobs still in the queue at shutdown must have their
+        futures resolved (ServingLoopStopped), never left pending, and
+        submit() after stop must be rejected."""
+        from vietvoice_tts_tpu.serving.multihost import (
+            MultiHostServingLoop,
+            ServingLoopStopped,
+        )
+
+        loop = MultiHostServingLoop(core, max_batch=2, max_wait_ms=20)
+        # Simulate a loop whose thread never drains (e.g. stop racing start):
+        # mark running without a worker thread, enqueue, then stop.
+        loop._running = True
+        fut = loop.submit(_make_job(core, 128))
+        loop.stop()
+        with pytest.raises(ServingLoopStopped):
+            fut.result(timeout=5)
+        with pytest.raises(ServingLoopStopped):
+            loop.submit(_make_job(core, 128))
+
 
 class _FakeDCN:
     """One-to-all broadcast fake: host 0 publishes, workers consume in order.

@@ -18,6 +18,8 @@ from time import monotonic
 from typing import Any, Dict
 from uuid import uuid4
 
+import anyio
+
 from ..utils.logging import get_logger
 from .asgi import App, File, NotFoundException, Response, Stream
 from .schemas import (
@@ -119,8 +121,6 @@ async def health() -> HealthResponse:
             # recovery is already underway.
             batcher_healthy = engine.batcher.healthy
             if not batcher_healthy:
-                import anyio
-
                 await anyio.to_thread.run_sync(engine.batcher.ensure_running)
             last_error = engine.batcher.last_error
     return HealthResponse(
@@ -291,7 +291,10 @@ async def synthesize_to_file(data: SynthesizeRequest) -> SynthesizeFileResponse:
     )
     file_id = uuid4().hex[:10]
     file_path = TMP_DIR / f"{file_id}.{data.output_format}"
-    file_path.write_bytes(audio_bytes)
+    # Off the event loop — parity with the reference's aiofiles write
+    # (/root/reference/vietvoicetts/api/app.py:83-94); the only blocking I/O
+    # otherwise left in the async path.
+    await anyio.to_thread.run_sync(file_path.write_bytes, audio_bytes)
     _file_cache[file_id] = {"path": file_path, "format": data.output_format}
     return SynthesizeFileResponse(
         download_url=f"/api/v1/download/{file_id}",

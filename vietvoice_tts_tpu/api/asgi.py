@@ -105,7 +105,7 @@ _PARAM_RE = re.compile(r"\{(\w+)(?::(\w+))?\}")
 _CONVERTERS: Dict[str, tuple] = {
     "str": (r"[^/]+", str),
     "int": (r"[0-9]+", int),
-    "float": (r"[0-9.+-eE]+", float),
+    "float": (r"[+-]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?", float),
     "uuid": (r"[0-9a-fA-F-]{8,36}", str),
     "path": (r".+", str),
 }
@@ -188,12 +188,19 @@ class App:
             m = route.regex.match(path)
             if not m:
                 continue
-            path_matched = True
             if route.method != method:
+                path_matched = True
                 continue
-            kwargs: Dict[str, Any] = {
-                k: route.converters.get(k, str)(v) for k, v in m.groupdict().items()
-            }
+            try:
+                kwargs: Dict[str, Any] = {
+                    k: route.converters.get(k, str)(v) for k, v in m.groupdict().items()
+                }
+            except (ValueError, TypeError):
+                # A captured segment the converter rejects (e.g. the float
+                # pattern is permissive enough to admit an unparseable string)
+                # means the URL doesn't name a resource — 404, never a 500.
+                continue
+            path_matched = True
             if route.body_model is not None:
                 try:
                     payload = json.loads(body or b"{}")
@@ -318,7 +325,19 @@ def openapi_schema(
             ref_template="#/components/schemas/{model}"
         )
         for name, sub in schema.pop("$defs", {}).items():
+            if name in components and components[name] != sub:
+                log.warning(
+                    "OpenAPI component name collision on %r; keeping the "
+                    "first registration — rename one of the models",
+                    name,
+                )
             components.setdefault(name, sub)
+        if model.__name__ in components and components[model.__name__] != schema:
+            log.warning(
+                "OpenAPI component name collision on %r; keeping the first "
+                "registration — rename one of the models",
+                model.__name__,
+            )
         components.setdefault(model.__name__, schema)
         return {"$ref": f"#/components/schemas/{model.__name__}"}
 
@@ -360,7 +379,10 @@ def openapi_schema(
             }
         else:
             responses.setdefault("200", {"description": "Successful response"})
-        paths.setdefault(route.path, {})[route.method.lower()] = op
+        # Strip converter suffixes from the template — OpenAPI path keys use
+        # plain ``{name}``, never ``{name:int}``.
+        oas_path = _PARAM_RE.sub(lambda m: "{%s}" % m.group(1), route.path)
+        paths.setdefault(oas_path, {})[route.method.lower()] = op
 
     return {
         "openapi": "3.1.0",

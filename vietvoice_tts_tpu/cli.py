@@ -345,16 +345,41 @@ def _browse_reference_samples(settings: Dict[str, Any]) -> Dict[str, Any]:
         print(f"{Colors.YELLOW}No samples match those filters.{Colors.RESET}")
         return settings
 
-    page = matches[:20]
-    for i, s in enumerate(page, 1):
+    # Paged listing: the real catalog has 238 rows, so a single filter can
+    # easily match more than one screenful (the reference lists everything at
+    # once, reference_samples browser in cli.py; we page at 20).
+    page_size = 20
+    n_pages = (len(matches) + page_size - 1) // page_size
+    page_no = 0
+    sample = None
+    while sample is None:
+        start = page_no * page_size
+        page = matches[start : start + page_size]
         print(
-            f"  {i:2d}. {s.filename} [{s.gender}/{s.group}/{s.area}/{s.emotion}] "
-            f"{s.text[:40]}"
+            f"\n  {len(matches)} matching sample(s) — page {page_no + 1}/{n_pages}"
         )
-    idx = _ask(f"Select sample (1-{len(page)}, 0 to cancel)", 0, int)
-    if not idx or not 1 <= idx <= len(page):
-        return settings
-    sample = page[idx - 1]
+        for i, s in enumerate(page, 1):
+            print(
+                f"  {i:2d}. {s.filename} [{s.gender}/{s.group}/{s.area}/{s.emotion}] "
+                f"{s.text[:40]}"
+            )
+        nav = "; n = next page, p = previous page" if n_pages > 1 else ""
+        raw = _ask(f"Select sample (1-{len(page)}, 0 to cancel{nav})", "0")
+        token = (raw or "0").strip().lower()
+        if token == "n" and n_pages > 1:
+            page_no = (page_no + 1) % n_pages
+            continue
+        if token == "p" and n_pages > 1:
+            page_no = (page_no - 1) % n_pages
+            continue
+        try:
+            idx = int(token)
+        except ValueError:
+            continue
+        if not idx:
+            return settings
+        if 1 <= idx <= len(page):
+            sample = page[idx - 1]
     if (_ask("Play sample? (y/n)", "n") or "n").lower().startswith("y"):
         play_sample(sample)
     settings["reference_audio"] = str(get_sample_path(sample))

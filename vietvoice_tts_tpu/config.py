@@ -132,6 +132,12 @@ class ModelConfig:
     voice_cond_cache: bool = True
     voice_cond_cache_size: int = 64  # LRU entries (~400 KB HBM each)
     voice_cond_frames: int = 1024  # cached mel length cap (frames)
+    # Batch sizes for which warmup() compiles trimmed-fetch program variants
+    # (the D2H-saving programs that skip the discarded reference prefix).
+    # (1,) = latency path only; widen to e.g. (1, 2, 4) when batched catalog
+    # traffic shares the default voice and the extra warmup compiles are
+    # measured to pay (every entry multiplies warmup compile count).
+    trim_warm_batches: tuple[int, ...] = (1,)
     # Serve only packs converted from real weights: when False, loading a
     # pack whose model_meta.json carries "synthetic": true raises instead of
     # serving random-weight noise with HTTP 200.

@@ -25,6 +25,8 @@ CLI (also the conversion-day entry — chains straight into preflight)::
 from __future__ import annotations
 
 import http.client
+import json
+import re
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -79,14 +81,31 @@ def ensure_model_downloaded(
         return dest
     dest.parent.mkdir(parents=True, exist_ok=True)
     partial = dest.with_suffix(dest.suffix + ".partial")
+    # Sidecar with the server's validator (ETag / Last-Modified) captured when
+    # the .partial was started. A resume sends it back as ``If-Range``: if the
+    # remote file changed between attempts the server replies 200 (full body)
+    # instead of 206 and the restart branch below discards the stale bytes —
+    # without this, a ranged continuation of a changed file silently splices
+    # two versions into one corrupt tarball.
+    meta_path = partial.with_suffix(partial.suffix + ".meta")
 
     offset = partial.stat().st_size if (resume and partial.exists()) else 0
     if not resume and partial.exists():
         partial.unlink()
+        meta_path.unlink(missing_ok=True)
 
     headers = {"User-Agent": "vietvoice-tts-tpu/1.0"}
     if offset:
         headers["Range"] = f"bytes={offset}-"
+        validator = None
+        if meta_path.exists():
+            try:
+                meta = json.loads(meta_path.read_text())
+                validator = meta.get("etag") or meta.get("last_modified")
+            except (OSError, ValueError):
+                pass
+        if validator:
+            headers["If-Range"] = validator
         log.info("Resuming download at byte %d: %s", offset, url)
     else:
         log.info("Downloading model from %s", url)
@@ -102,10 +121,34 @@ def ensure_model_downloaded(
             resp_headers = getattr(resp, "headers", {}) or {}
             length = resp_headers.get("Content-Length")
             if offset and status != 206:
-                # Server ignored the range — restart from scratch.
+                # Server ignored the range (or If-Range said the file
+                # changed) — restart from scratch.
                 log.info("Server does not support resume; restarting download")
                 offset = 0
                 partial.unlink(missing_ok=True)
+                meta_path.unlink(missing_ok=True)
+            elif offset:
+                # Cross-check the 206 Content-Range start against our offset:
+                # a mismatched continuation would corrupt the file silently.
+                rng = resp_headers.get("Content-Range", "")
+                m = re.match(r"bytes (\d+)-", rng)
+                if m and int(m.group(1)) != offset:
+                    log.info(
+                        "Content-Range start %s != partial size %d; restarting",
+                        m.group(1),
+                        offset,
+                    )
+                    offset = 0
+                    partial.unlink(missing_ok=True)
+                    meta_path.unlink(missing_ok=True)
+            if not offset:
+                # Record the validator for a future resume of this .partial.
+                validators = {
+                    "etag": resp_headers.get("ETag"),
+                    "last_modified": resp_headers.get("Last-Modified"),
+                }
+                if any(validators.values()):
+                    meta_path.write_text(json.dumps(validators))
             total = (int(length) + offset) if length else None
             mode = "ab" if offset else "wb"
             done = offset
@@ -134,9 +177,11 @@ def ensure_model_downloaded(
             if total_s.isdigit() and offset == int(total_s):
                 log.info("Partial download was already complete; finalizing")
                 partial.rename(dest)
+                meta_path.unlink(missing_ok=True)
                 return dest
             log.info("Stale .partial (server size %s ≠ %d); restarting", total_s or "?", offset)
             partial.unlink(missing_ok=True)
+            meta_path.unlink(missing_ok=True)
             return ensure_model_downloaded(
                 url=url, dest=dest, resume=resume, progress=progress, opener=opener
             )
@@ -158,9 +203,11 @@ def ensure_model_downloaded(
         ) from e
     except Exception as e:  # noqa: BLE001 — reference parity: clean up partials
         partial.unlink(missing_ok=True)
+        meta_path.unlink(missing_ok=True)
         raise RuntimeError(f"Failed to download model: {e}") from e
 
     partial.rename(dest)
+    meta_path.unlink(missing_ok=True)
     log.info("Model downloaded successfully to %s", dest)
     return dest
 

@@ -129,6 +129,11 @@ class EngineCore:
         # Warmed trim classes per (batch, n_frames, cond_cached) — see
         # pick_trim. Only warmup() adds entries.
         self._warm_trims: Dict[Tuple, set] = {}
+        # Batch sizes for which warmup() compiles trimmed-fetch variants.
+        # Batch 1 is the latency path; widen (e.g. {1, 2, 4, 8}) when batched
+        # catalog traffic shares a voice and the extra compiles are measured
+        # to pay for themselves (see bench.py --trim-batches probe).
+        self._trim_batches = set(config.trim_warm_batches)
 
     # -- Parameter placement -------------------------------------------------
 
@@ -548,20 +553,33 @@ class EngineCore:
         with self.timer.stage("mel_latent"):
             return self._fetch(self._jit_cache[key](self.params, *args))
 
-    def warmup(self, batches=(1,), buckets=None, trim_classes=(0,)) -> None:
+    def warmup(
+        self, batches=(1,), buckets=None, trim_classes=(0,), fallback_batches=(1,)
+    ) -> None:
         """Ahead-of-time compile the configured shape buckets.
 
         ``trim_classes`` additionally compiles trimmed-fetch program
-        variants (32-frame grid) for BATCH-1 programs — the latency path —
-        and registers them with pick_trim. The engine derives the useful
-        class from the default catalog voice's reference length; anything
-        not registered here simply runs untrimmed."""
+        variants (32-frame grid) — the latency path — and registers them
+        with pick_trim. The engine derives the useful class from the default
+        catalog voice's reference length; anything not registered here simply
+        runs untrimmed.
+
+        ``fallback_batches`` bounds which batch sizes ALSO pre-compile the
+        non-cond-cached waveform fallback (the program a request falls back
+        to when its reference exceeds the cond-cache window). Compiling it
+        for every warm shape roughly doubles warmup time; the fallback only
+        matters on the latency path (batch 1 — batched catalog traffic
+        shares the default voice, which fits the window), so that is the
+        default. Other shapes compile lazily on first use, amortized by the
+        persistent XLA disk cache."""
         buckets = buckets or self.config.frame_buckets
         hop = self.config.hop_length
         for b in batches:
             for n in buckets:
                 for trim in sorted(set(trim_classes)):
-                    if trim and (b != 1 or trim % 32 or trim + 16 >= n):
+                    if trim and (trim % 32 or trim + 16 >= n):
+                        continue
+                    if trim and b not in self._trim_batches:
                         continue
                     ref = max(8, trim + 8)
                     self.synthesize_batch(
@@ -573,7 +591,7 @@ class EngineCore:
                     )
                     cond = self._cond_eligible(np.full((b,), ref, np.int32), n)
                     self._warm_trims.setdefault((b, n, cond), set()).add(trim)
-                    if cond:
+                    if cond and b in fallback_batches:
                         # The dispatch above compiled only the cond-cached
                         # variant. A request whose reference exceeds the
                         # cache window (ref_len+4 > cap) falls back to the

@@ -22,6 +22,7 @@ into the same layout (see ``models/convert.py``).
 from __future__ import annotations
 
 import json
+import shutil
 from pathlib import Path
 from typing import Optional, Tuple
 
@@ -213,24 +214,37 @@ class ModelSessionManager:
         (pack / "audio_metadata.json").write_text(
             json.dumps(catalog, ensure_ascii=False, indent=1)
         )
-        # CSV mirror for the reference_samples catalog API.
+        # CSV mirror for the reference_samples catalog API. Prefer the bundled
+        # REAL 238-row catalog (models_data/reference_samples.csv — the
+        # reference ships the same file in-repo, /root/reference/models/
+        # reference_samples.csv) so browser/filters match the reference even
+        # before the real clips arrive with the weight tarball; fall back to a
+        # mirror of the synthetic pack's own 42 voices for isolated caches
+        # where the repo data dir is absent (e.g. an installed wheel).
         import csv
 
-        with (Path(cfg.model_cache_dir).expanduser() / "reference_samples.csv").open(
-            "w", newline="", encoding="utf-8"
-        ) as fh:
-            w = csv.writer(fh)
-            for row in catalog:
-                w.writerow(
-                    [
-                        row["file_name"],
-                        row["gender"],
-                        row["group"],
-                        row["area"],
-                        row["emotion"],
-                        row["text"],
-                    ]
-                )
+        mirror = Path(cfg.model_cache_dir).expanduser() / "reference_samples.csv"
+        bundled = (
+            Path(__file__).resolve().parent.parent.parent
+            / "models_data"
+            / "reference_samples.csv"
+        )
+        if bundled.exists():
+            shutil.copyfile(bundled, mirror)
+        else:
+            with mirror.open("w", newline="", encoding="utf-8") as fh:
+                w = csv.writer(fh)
+                for row in catalog:
+                    w.writerow(
+                        [
+                            row["file_name"],
+                            row["gender"],
+                            row["group"],
+                            row["area"],
+                            row["emotion"],
+                            row["text"],
+                        ]
+                    )
 
     # -- Loading -------------------------------------------------------------
 

@@ -55,6 +55,12 @@ class _Batch:
 _STOP = object()
 
 
+class ServingLoopStopped(RuntimeError):
+    """Set on the futures of jobs still queued when the loop shuts down,
+    and raised by ``submit()`` once a stop has been requested — a caller
+    blocked on ``future.result()`` must never hang across shutdown."""
+
+
 class MultiHostServingLoop:
     """Lockstep dispatcher: identical device programs on every host."""
 
@@ -95,9 +101,15 @@ class MultiHostServingLoop:
     def submit(self, job: ChunkJob) -> Future:
         if not self.is_coordinator:
             raise RuntimeError("submit() is only valid on host 0")
-        if not self._running:
-            raise RuntimeError("Serving loop is not running")
+        if not self._running or self._stop_requested:
+            raise ServingLoopStopped("Serving loop is not running")
         self._queue.put(job)
+        if not self._running:
+            # Raced a concurrent stop() past the exit drain: the loop will
+            # never pick this job up — fail it rather than leave the caller
+            # hanging on future.result().
+            self._fail_queued()
+            raise ServingLoopStopped("Serving loop is not running")
         return job.future
 
     # -- Loop ----------------------------------------------------------------
@@ -123,6 +135,21 @@ class MultiHostServingLoop:
         self._running = False
         if self._thread:
             self._thread.join(timeout=timeout)
+        # Jobs submitted but never drained by the loop (including any that
+        # raced past the loop's own exit drain) must not hang their callers.
+        self._fail_queued()
+
+    def _fail_queued(self) -> None:
+        """Resolve every still-queued job with ServingLoopStopped."""
+        while True:
+            try:
+                job = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if not job.future.done():
+                job.future.set_exception(
+                    ServingLoopStopped("Serving loop stopped before this job ran")
+                )
 
     def _drain(self) -> tuple[list[ChunkJob], _Batch]:
         """Host 0: gather up to max_batch same-bucket jobs (or heartbeat)."""
@@ -319,3 +346,7 @@ class MultiHostServingLoop:
             self._resolve(pending)
             pending = (fetch, jobs) if fetch is not None else None
         self._resolve(pending)
+        # Whatever is still queued when the loop exits (a stop taken before
+        # the drain, or a fail-stop mid-stream) is never going to run.
+        if self.is_coordinator:
+            self._fail_queued()
