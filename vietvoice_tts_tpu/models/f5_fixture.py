@@ -260,10 +260,15 @@ def _export_dit(params: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def build_preprocess(spec: FixtureSpec, params: dict, seed: int = 9527) -> bytes:
+def build_preprocess(spec: FixtureSpec, params: dict, seed: int = 9527,
+                     variant: str = "f5") -> bytes:
     """(audio [1,1,T] f32 int16-scale, text_ids [1,L] i64, max_duration [1]
     i64) → (noise, rope_cos_q, rope_sin_q, rope_cos_k, rope_sin_k,
-    cat_mel_text, cat_mel_text_drop, ref_signal_len)."""
+    cat_mel_text, cat_mel_text_drop, ref_signal_len).
+
+    ``variant="swapped_concat"`` emits ``Concat(text, mel)`` instead of
+    ``Concat(mel, text)`` — a hostile export the topology verifier must
+    flag (the converted input_proj's column blocks would be swapped)."""
     gb = _GB()
     exp = _export_dit(params)
     hop, win, n_fft = spec.hop_length, spec.win_length, spec.n_fft
@@ -354,9 +359,13 @@ def build_preprocess(spec: FixtureSpec, params: dict, seed: int = 9527) -> bytes
 
     text3 = gb.n("Unsqueeze", [text_feat], axes=[0])
     drop3 = gb.n("Unsqueeze", [text_drop], axes=[0])
-    gb.out("Concat", [cond, text3], "cat_mel_text", axis=2)
     zcond = gb.n("Mul", [cond, gb.c(np.float32(0.0))], hint="zero_cond")
-    gb.out("Concat", [zcond, drop3], "cat_mel_text_drop", axis=2)
+    if variant == "swapped_concat":
+        gb.out("Concat", [text3, cond], "cat_mel_text", axis=2)
+        gb.out("Concat", [drop3, zcond], "cat_mel_text_drop", axis=2)
+    else:
+        gb.out("Concat", [cond, text3], "cat_mel_text", axis=2)
+        gb.out("Concat", [zcond, drop3], "cat_mel_text_drop", axis=2)
 
     # ---- RoPE tables (ops/rope.py semantics: half-dim freqs duplicated) ----
     half = spec.head_dim // 2
@@ -404,9 +413,21 @@ def build_preprocess(spec: FixtureSpec, params: dict, seed: int = 9527) -> bytes
     return ox.make_model(graph)
 
 
-def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str, t_emb: str) -> str:
+def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
+                t_emb: str, variant: str = "f5") -> str:
     """One DiT forward (models/dit.py:dit_forward_embedded, full mask):
-    x2d [N, n_mels], cat [N, n_mels+text_dim], t_emb [1, dim] (SiLU'd)."""
+    x2d [N, n_mels], cat [N, n_mels+text_dim], t_emb [1, dim] (SiLU'd).
+
+    ``variant`` builds HOSTILE exports for topology-verifier tests
+    (models/topology.py must DETECT these, never convert them silently):
+
+    - ``"f5"`` — the faithful pre-norm AdaLN-Zero block (default);
+    - ``"post_norm"`` — no norm before QKV; the norm runs after the
+      residual add (a structurally different transformer family);
+    - ``"mod_before_norm"`` — AdaLN scale/shift applied BEFORE the norm
+      (the norm then erases the modulation — wrong op order);
+    - ``"no_gate"`` — plain residual adds without the AdaLN-Zero gates.
+    """
     d = spec.dim
     ones_d = gb.c(np.ones((d,), np.float32), "ln_ones_d")
     h_in = gb.n("Concat", [x2d, cat], axis=1, hint="h_in")
@@ -440,8 +461,15 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str, t_emb
         sh_a, sc_a, g_a, sh_f, sc_f, g_f = gb.n(
             "Split", [mod], n_out=6, axis=1, hint="mod_split"
         )
-        u = _ln(gb, h, gb.init(f"{pre}.norm1.weight", np.ones((d,), np.float32)))
-        u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_a, one_f])]), sh_a])
+        norm1_w = gb.init(f"{pre}.norm1.weight", np.ones((d,), np.float32))
+        if variant == "post_norm":
+            u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_a, one_f])]), sh_a])
+        elif variant == "mod_before_norm":
+            u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_a, one_f])]), sh_a])
+            u = _ln(gb, u, norm1_w)
+        else:
+            u = _ln(gb, h, norm1_w)
+            u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_a, one_f])]), sh_a])
         qkv = _linear(gb, u, f"{pre}.attn.qkv", blk["qkv_w"], blk["qkv_b"])
         q, k, v = gb.n("Split", [qkv], n_out=3, axis=1, hint="qkv_split")
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
@@ -455,13 +483,30 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str, t_emb
         av = gb.n("MatMul", [attnw, v])  # [H, N, hd]
         av = gb.n("Reshape", [gb.n("Transpose", [av], perm=[1, 0, 2]), merge_shape])
         attn = _linear(gb, av, f"{pre}.attn.out", blk["out_w"], blk["out_b"])
-        h = gb.n("Add", [h, gb.n("Mul", [g_a, attn])])
+        if variant == "no_gate":
+            h = gb.n("Add", [h, attn])
+        else:
+            h = gb.n("Add", [h, gb.n("Mul", [g_a, attn])])
+        if variant == "post_norm":
+            h = _ln(gb, h, norm1_w)
 
-        u = _ln(gb, h, gb.init(f"{pre}.norm2.weight", np.ones((d,), np.float32)))
-        u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_f, one_f])]), sh_f])
+        norm2_w = gb.init(f"{pre}.norm2.weight", np.ones((d,), np.float32))
+        if variant == "post_norm":
+            u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_f, one_f])]), sh_f])
+        elif variant == "mod_before_norm":
+            u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_f, one_f])]), sh_f])
+            u = _ln(gb, u, norm2_w)
+        else:
+            u = _ln(gb, h, norm2_w)
+            u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_f, one_f])]), sh_f])
         f = _gelu(gb, _linear(gb, u, f"{pre}.ff.0", blk["ff1_w"], blk["ff1_b"]))
         f = _linear(gb, f, f"{pre}.ff.2", blk["ff2_w"], blk["ff2_b"])
-        h = gb.n("Add", [h, gb.n("Mul", [g_f, f])])
+        if variant == "no_gate":
+            h = gb.n("Add", [h, f])
+        else:
+            h = gb.n("Add", [h, gb.n("Mul", [g_f, f])])
+        if variant == "post_norm":
+            h = _ln(gb, h, norm2_w)
 
     fmod = _linear(gb, t_emb, "final_ada", exp["final_ada_w"], exp["final_ada_b"])
     f_sh, f_sc = gb.n("Split", [fmod], n_out=2, axis=1, hint="fmod_split")
@@ -470,9 +515,14 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str, t_emb
     return _linear(gb, h, "final_proj", exp["final_proj_w"], exp["final_proj_b"])
 
 
-def build_transformer(spec: FixtureSpec, params: dict) -> bytes:
+def build_transformer(spec: FixtureSpec, params: dict,
+                      variant: str = "f5") -> bytes:
     """One CFG+Euler denoise step; looped by the caller exactly like the
-    reference (``core/tts_engine.py:148-174``)."""
+    reference (``core/tts_engine.py:148-174``).
+
+    ``variant`` (see ``_dit_branch``) additionally supports ``"no_cfg"``
+    (the output is plain v_cond — no classifier-free guidance
+    combination), for topology-verifier detection tests."""
     gb = _GB()
     exp = _export_dit(params)
     nm, hd, td = spec.n_mels, spec.head_dim, spec.text_dim
@@ -505,19 +555,23 @@ def build_transformer(spec: FixtureSpec, params: dict) -> bytes:
     gb.out("Squeeze", ["rope_cos_q"], "rope_cos_2d", axes=[0])
     gb.out("Squeeze", ["rope_sin_q"], "rope_sin_2d", axes=[0])
 
-    v_cond = _dit_branch(gb, spec, exp, x2d, cat, t_emb)
-    v_uncond = _dit_branch(gb, spec, exp, x2d, cat_drop, t_emb)
-    v = gb.n(
-        "Add",
-        [
-            v_cond,
-            gb.n(
-                "Mul",
-                [gb.c(np.float32(spec.cfg_strength), "cfg"), gb.n("Sub", [v_cond, v_uncond])],
-            ),
-        ],
-        hint="v_cfg",
-    )
+    branch_variant = "f5" if variant == "no_cfg" else variant
+    v_cond = _dit_branch(gb, spec, exp, x2d, cat, t_emb, branch_variant)
+    if variant == "no_cfg":
+        v = v_cond
+    else:
+        v_uncond = _dit_branch(gb, spec, exp, x2d, cat_drop, t_emb, branch_variant)
+        v = gb.n(
+            "Add",
+            [
+                v_cond,
+                gb.n(
+                    "Mul",
+                    [gb.c(np.float32(spec.cfg_strength), "cfg"), gb.n("Sub", [v_cond, v_uncond])],
+                ),
+            ],
+            hint="v_cfg",
+        )
     x_next = gb.n("Add", [x2d, gb.n("Mul", [dt, v])], hint="x_next")
     gb.out("Unsqueeze", [x_next], "noise_out", axes=[0])
     gb.out("Add", ["time_step", gb.c(np.int32(1))], "time_step_out")

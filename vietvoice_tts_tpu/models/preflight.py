@@ -316,6 +316,38 @@ def preflight_report(
     }
     blockers.extend(arch_report["errors"])
 
+    # Topology-level verification (round-4 verdict #2): the per-block op
+    # sequence of transformer.onnx against the JAX block, and the DSP
+    # constants embedded in preprocess.onnx against the frontend's
+    # assumptions. A structurally different export fails HERE in seconds,
+    # not 40 minutes into the golden gate.
+    from ..config import ModelConfig
+    from .topology import verify_preprocess, verify_transformer
+
+    topo: Dict[str, dict] = {}
+    if "transformer" in models:
+        topo["transformer"] = verify_transformer(
+            models["transformer"],
+            arch.get("facts", {}),
+            expected_sway_coef=ModelConfig.sway_sampling_coef,
+        )
+        blockers.extend(
+            f"transformer topology: {e}" for e in topo["transformer"]["errors"]
+        )
+        warnings.extend(
+            f"transformer topology: {w}" for w in topo["transformer"]["warnings"]
+        )
+    if "preprocess" in models:
+        topo["preprocess"] = verify_preprocess(
+            models["preprocess"], arch.get("facts", {})
+        )
+        blockers.extend(
+            f"preprocess constants: {e}" for e in topo["preprocess"]["errors"]
+        )
+        warnings.extend(
+            f"preprocess constants: {w}" for w in topo["preprocess"]["warnings"]
+        )
+
     io_report: Dict[str, dict] = {}
     for stem, model in models.items():
         g = model.graph
@@ -374,6 +406,7 @@ def preflight_report(
         "vocab_size": vocab_size,
         "op_coverage": ops,
         "architecture": arch_report,
+        "topology": topo,
         "io_contract": io_report,
         "weights": weights,
     }
@@ -405,6 +438,31 @@ def main(argv=None) -> int:  # pragma: no cover — thin CLI
         print(f"wrote {args.out}", file=sys.stderr)
     else:
         print(text)
+    # Per-block topology verdict (round-4 verdict #2 'Done' criterion).
+    tr_topo = report.get("topology", {}).get("transformer")
+    if tr_topo:
+        s = tr_topo["summary"]
+        n = s["attention_blocks"]
+        print(
+            f"topology: {n} attention blocks — pre-norm {s['pre_norm_ok']}/{n}, "
+            f"AdaLN {s['adaln_ok']}/{n}, RoPE {s['rope_ok']}/{n}, "
+            f"attn-core {s['attn_core_ok']}/{n}, "
+            f"gated-residual {s['gated_residual_ok']}/{n}, "
+            f"FFN {s['ffn_ok']}/{n}; "
+            f"euler={'ok' if tr_topo['euler'].get('ok') else 'FAIL'} "
+            f"cfg={'ok' if tr_topo['cfg'].get('ok') else 'FAIL'} "
+            f"time_grid={tr_topo['time_grid'].get('match')}",
+            file=sys.stderr,
+        )
+    pre_topo = report.get("topology", {}).get("preprocess")
+    if pre_topo:
+        print(
+            "preprocess constants: "
+            + ("ok " if pre_topo["ok"] else "FAIL ")
+            + str({k: (v if not isinstance(v, dict) else "ok")
+                   for k, v in pre_topo["checks"].items()}),
+            file=sys.stderr,
+        )
     print(
         ("PREFLIGHT OK — conversion can proceed" if report["ok"]
          else f"PREFLIGHT BLOCKED — {len(report['blockers'])} blockers"),
