@@ -68,14 +68,16 @@ class TTSEngine:
         # chunks from concurrent requests share padded device batches.
         self.batcher = None
 
-    def enable_micro_batching(self, max_batch=None, max_wait_ms: float = 5.0):
+    def enable_micro_batching(self, max_batch=None, max_wait_ms: float = 5.0,
+                              pipeline_depth: int = 1):
         """Attach a continuous micro-batcher so concurrent requests share
         device batches (see serving/batcher.py). Returns the batcher."""
         from ..serving.batcher import MicroBatcher
 
         if self.batcher is None:
             self.batcher = MicroBatcher(
-                self.engine_core, max_batch=max_batch, max_wait_ms=max_wait_ms
+                self.engine_core, max_batch=max_batch, max_wait_ms=max_wait_ms,
+                pipeline_depth=pipeline_depth,
             )
         return self.batcher
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Optional
@@ -41,6 +42,7 @@ class ChunkJob:
     seed: int
     future: Future = field(default_factory=Future)
     attempts: int = 0  # failed dispatch/fetch attempts so far
+    ts: float = field(default_factory=time.monotonic)  # arrival (aging guard)
     # Leading frames the device program dropped before the fetch (EngineCore
     # ``trim_ref_frames``): the resolved row STARTS at this frame. Set by the
     # dispatcher per batch; callers slice with ``ref_len - trimmed``.
@@ -85,12 +87,20 @@ class MicroBatcher:
         max_batch: Optional[int] = None,
         max_wait_ms: float = 5.0,
         retries: int = 1,
+        max_starve_ms: float = 500.0,
+        pipeline_depth: int = 1,
     ):
         self.core = engine_core
         self.max_batch = max_batch or engine_core.config.max_batch_size
+        self.pipeline_depth = pipeline_depth
         self.max_wait_s = max_wait_ms / 1000.0
+        self.max_starve_s = max_starve_ms / 1000.0
         self.retries = retries
         self._queue: "queue.Queue[Optional[ChunkJob]]" = queue.Queue()
+        # Jobs pulled off the queue but not yet dispatched (bucket-aware
+        # grouping keeps minority buckets here instead of re-queueing them
+        # at the tail — see _collect).
+        self._pending: deque[ChunkJob] = deque()
         self._stats = BatcherStats()
         self._running = True
         # Serializes ensure_running/shutdown so two concurrent repair calls
@@ -112,9 +122,17 @@ class MicroBatcher:
         self.last_error_ts: Optional[float] = None
         # Two-stage pipeline: the dispatcher thread enqueues async device
         # work; the fetcher thread blocks on (slow, tunneled) D2H transfers.
-        # maxsize bounds in-flight batches — dispatch of batch k+2 waits
-        # until batch k's result has been fetched (backpressure).
-        self._inflight: "queue.Queue[Optional[tuple]]" = queue.Queue(maxsize=2)
+        # maxsize bounds in-flight batches BEYOND the one being fetched —
+        # dispatch of batch k+1+depth waits until batch k's result has been
+        # fetched (backpressure). With the collect-while-blocked scheduler
+        # the device stays saturated at depth 1 (next batch dispatched while
+        # the current computes; compute overlaps the previous fetch's D2H),
+        # and depths 1 vs 2 measured identical throughput and p50 at c=12
+        # within link-weather noise (round 5) — depth 1 queues the least
+        # work ahead of a newly arriving request, so it is the default.
+        self._inflight: "queue.Queue[Optional[tuple]]" = queue.Queue(
+            maxsize=max(1, pipeline_depth)
+        )
         self._start_threads()
 
     def _start_threads(self) -> None:
@@ -201,46 +219,94 @@ class MicroBatcher:
         except queue.Full:  # pragma: no cover — fetch wedged at shutdown
             pass
         self._fetcher.join(timeout=timeout)
-        # Fail (don't hang) futures still queued at shutdown.
+        # Fail (don't hang) futures still queued OR pending at shutdown.
+        leftovers: list[Optional[ChunkJob]] = list(self._pending)
+        self._pending.clear()
         while True:
             try:
-                job = self._queue.get_nowait()
+                leftovers.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        for job in leftovers:
             if job is not None and not job.future.done():
                 job.future.set_exception(RuntimeError("MicroBatcher is shut down"))
 
     # -- Dispatcher ----------------------------------------------------------
 
-    def _collect(self) -> list[ChunkJob]:
-        """Block for one job, then greedily gather same-bucket co-riders.
+    def _largest_group(self) -> int:
+        counts: dict[int, int] = {}
+        for j in self._pending:
+            counts[j.bucket] = counts.get(j.bucket, 0) + 1
+        return max(counts.values(), default=0)
 
-        The wait budget is an ABSOLUTE deadline from the first job's arrival:
-        worst-case added latency is max_wait_ms total, not max_wait_ms per
-        co-rider (max_batch × max_wait_ms cumulative)."""
-        first = self._queue.get()
-        if first is None:
-            return []
-        batch = [first]
-        spill: list[ChunkJob] = []
+    def _collect(self) -> list[ChunkJob]:
+        """Gather one device batch, bucket-aware across the whole queue head.
+
+        Two scheduling properties fix the round-4 queueing gap (p50 794 ms
+        at c=12 while mean batch was 4.6 of 12):
+
+        1. **The collection window spans device-busy time.** The old loop
+           collected for max_wait_ms, then blocked in ``_inflight.put`` —
+           every job arriving during the in-flight batch's ~0.5 s missed
+           the bus it was about to catch and seeded a small straggler batch
+           instead. Now, while the in-flight pipeline is full the collector
+           keeps draining the queue (the dispatch couldn't proceed anyway),
+           so the batch that goes out when a slot frees carries everyone
+           who queued during the wait. max_wait_ms still bounds the ADDED
+           latency when the device is idle.
+
+        2. **Minority buckets wait here, not at the queue tail.** The old
+           collector spilled different-bucket jobs back into the queue
+           (scrambling arrival order and re-scanning them every round) and
+           dispatched the FIRST job's bucket even when a full co-rider set
+           of another bucket was ready. Now all drained jobs stay in
+           ``_pending``; the dispatched group is the largest bucket cohort,
+           unless the oldest waiting job has aged past ``max_starve_ms`` —
+           then its bucket goes first (bounded worst-case wait for odd
+           buckets under a steady majority stream)."""
+        if not self._pending:
+            first = self._queue.get()
+            if first is None:
+                return []
+            self._pending.append(first)
         deadline = time.monotonic() + self.max_wait_s
-        while len(batch) < self.max_batch:
-            remaining = deadline - time.monotonic()
-            if remaining <= 0:
+        while True:
+            now = time.monotonic()
+            blocked = self._inflight.full()
+            full = self._largest_group() >= self.max_batch
+            if not blocked and (now >= deadline or full):
                 break
+            # While the pipeline is blocked, poll in short slices so the
+            # moment a slot frees we dispatch with everything gathered.
+            timeout = 0.005 if blocked else (deadline - now)
             try:
-                job = self._queue.get(timeout=remaining)
+                job = self._queue.get(timeout=timeout)
             except queue.Empty:
+                if blocked:
+                    continue
                 break
             if job is None:
                 self._queue.put(None)  # re-post sentinel for shutdown
                 break
-            if job.bucket == first.bucket:
-                batch.append(job)
-            else:
-                spill.append(job)
-        for job in spill:  # different buckets ride the next dispatch
-            self._queue.put(job)
+            self._pending.append(job)
+
+        # Pick the dispatch group: oldest job's bucket if it is starving,
+        # else the largest cohort (ties go to the cohort of the oldest
+        # member, preserving arrival order).
+        oldest = self._pending[0]
+        groups: dict[int, list[ChunkJob]] = {}
+        for j in self._pending:
+            groups.setdefault(j.bucket, []).append(j)
+        if time.monotonic() - oldest.ts > self.max_starve_s:
+            bucket = oldest.bucket
+        else:
+            best = max(len(g) for g in groups.values())
+            bucket = next(
+                j.bucket for j in self._pending if len(groups[j.bucket]) == best
+            )
+        batch = groups[bucket][: self.max_batch]
+        taken = set(map(id, batch))
+        self._pending = deque(j for j in self._pending if id(j) not in taken)
         return batch
 
     def _run_batch(self, jobs: list[ChunkJob]) -> None:
