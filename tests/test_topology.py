@@ -126,6 +126,25 @@ class TestHostileVariantsDetected:
         assert any("sway" in e for e in rep["errors"])
 
 
+class TestBenignSpellingsVerify:
+    """Spelling variants a real torch export emits (decomposed LayerNorm,
+    separate q/k/v Gemms, erf-GELU) are structurally THE SAME block and
+    must verify clean — the verifier flags different topology, not
+    different spellings of the same topology."""
+
+    def test_torch_decomposed_spelling_passes(self, params):
+        m = parse_model(
+            build_transformer(SPEC, params, variant="torch_decomposed")
+        )
+        rep = topology.verify_transformer(m, FACTS)
+        assert rep["ok"], rep["errors"]
+        s = rep["summary"]
+        n = 2 * SPEC.depth
+        assert s["pre_norm_ok"] == n  # decomposed LN recognized as a norm
+        assert s["ffn_ok"] == n  # erf-GELU recognized as the nonlinearity
+        assert all(b["qkv_proj"] == "separate" for b in rep["blocks"])
+
+
 class TestPreprocessConstants:
     def test_clean_constants_all_verified(self, params):
         m = parse_model(build_preprocess(SPEC, params))

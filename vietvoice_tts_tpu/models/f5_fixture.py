@@ -130,6 +130,29 @@ def _ln(gb: _GB, x: str, scale: str, bias: str | None = None) -> str:
     return gb.n("LayerNormalization", ins, epsilon=1e-6)
 
 
+def _ln_decomposed(gb: _GB, x: str, scale: str) -> str:
+    """The torch-export spelling of LayerNorm: ReduceMean / Sub / Pow /
+    ReduceMean / Add eps / Sqrt / Div / Mul scale (older opsets and
+    constant-folded exports emit this instead of the fused op)."""
+    mean = gb.n("ReduceMean", [x], axes=[-1], keepdims=1, hint="ln_mean")
+    centered = gb.n("Sub", [x, mean], hint="ln_centered")
+    var = gb.n(
+        "ReduceMean",
+        [gb.n("Pow", [centered, gb.c(np.float32(2.0), "two")])],
+        axes=[-1], keepdims=1, hint="ln_var",
+    )
+    denom = gb.n("Sqrt", [gb.n("Add", [var, gb.c(np.float32(1e-6), "ln_eps")])])
+    return gb.n("Mul", [gb.n("Div", [centered, denom]), scale], hint="ln_out")
+
+
+def _gelu_erf(gb: _GB, x: str) -> str:
+    """Exact GELU as torch exports it without the Gelu op:
+    0.5 * x * (1 + Erf(x / sqrt(2)))."""
+    inner = gb.n("Erf", [gb.n("Div", [x, gb.c(np.float32(2.0**0.5), "sqrt2")])])
+    one = gb.n("Add", [inner, gb.c(np.float32(1.0), "one_gelu")])
+    return gb.n("Mul", [gb.n("Mul", [x, one]), gb.c(np.float32(0.5), "half")])
+
+
 def _gelu(gb: _GB, x: str) -> str:
     return gb.n("Gelu", [x], approximate="tanh")
 
@@ -426,7 +449,12 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
       residual add (a structurally different transformer family);
     - ``"mod_before_norm"`` — AdaLN scale/shift applied BEFORE the norm
       (the norm then erases the modulation — wrong op order);
-    - ``"no_gate"`` — plain residual adds without the AdaLN-Zero gates.
+    - ``"no_gate"`` — plain residual adds without the AdaLN-Zero gates;
+    - ``"torch_decomposed"`` — a BENIGN spelling variant (must VERIFY, not
+      be flagged): decomposed LayerNorm (ReduceMean/Sub/Pow/Sqrt/Div),
+      separate q/k/v Gemms instead of the packed projection, and
+      erf-GELU instead of the Gelu op — the shapes real torch exports
+      emit on older opsets.
     """
     d = spec.dim
     ones_d = gb.c(np.ones((d,), np.float32), "ln_ones_d")
@@ -462,16 +490,24 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
             "Split", [mod], n_out=6, axis=1, hint="mod_split"
         )
         norm1_w = gb.init(f"{pre}.norm1.weight", np.ones((d,), np.float32))
+        norm = _ln_decomposed if variant == "torch_decomposed" else (
+            lambda g, x, w: _ln(g, x, w)
+        )
         if variant == "post_norm":
             u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_a, one_f])]), sh_a])
         elif variant == "mod_before_norm":
             u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_a, one_f])]), sh_a])
             u = _ln(gb, u, norm1_w)
         else:
-            u = _ln(gb, h, norm1_w)
+            u = norm(gb, h, norm1_w)
             u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_a, one_f])]), sh_a])
-        qkv = _linear(gb, u, f"{pre}.attn.qkv", blk["qkv_w"], blk["qkv_b"])
-        q, k, v = gb.n("Split", [qkv], n_out=3, axis=1, hint="qkv_split")
+        if variant == "torch_decomposed":
+            q = _linear(gb, u, f"{pre}.attn.q", blk["qkv_w"][:d], blk["qkv_b"][:d])
+            k = _linear(gb, u, f"{pre}.attn.k", blk["qkv_w"][d:2 * d], blk["qkv_b"][d:2 * d])
+            v = _linear(gb, u, f"{pre}.attn.v", blk["qkv_w"][2 * d:], blk["qkv_b"][2 * d:])
+        else:
+            qkv = _linear(gb, u, f"{pre}.attn.qkv", blk["qkv_w"], blk["qkv_b"])
+            q, k, v = gb.n("Split", [qkv], n_out=3, axis=1, hint="qkv_split")
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         q, k = rope(q), rope(k)
         logits = gb.n(
@@ -497,9 +533,10 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
             u = gb.n("Add", [gb.n("Mul", [h, gb.n("Add", [sc_f, one_f])]), sh_f])
             u = _ln(gb, u, norm2_w)
         else:
-            u = _ln(gb, h, norm2_w)
+            u = norm(gb, h, norm2_w)
             u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_f, one_f])]), sh_f])
-        f = _gelu(gb, _linear(gb, u, f"{pre}.ff.0", blk["ff1_w"], blk["ff1_b"]))
+        act = _gelu_erf if variant == "torch_decomposed" else _gelu
+        f = act(gb, _linear(gb, u, f"{pre}.ff.0", blk["ff1_w"], blk["ff1_b"]))
         f = _linear(gb, f, f"{pre}.ff.2", blk["ff2_w"], blk["ff2_b"])
         if variant == "no_gate":
             h = gb.n("Add", [h, f])

@@ -149,6 +149,7 @@ def _is_norm(G: GraphIndex, tensor: str, max_depth: int = 12
     frontier = [t]
     seen_ops: Set[str] = set()
     data_in: Optional[str] = None
+    sub_in: Optional[str] = None
     for _ in range(max_depth):
         nxt = []
         for tt in frontier:
@@ -158,12 +159,17 @@ def _is_norm(G: GraphIndex, tensor: str, max_depth: int = 12
             seen_ops.add(nd.op_type)
             if nd.op_type == "ReduceMean":
                 data_in = nd.inputs[0]
+            if nd.op_type == "Sub" and sub_in is None:
+                # Sub(x, mean): the first operand is the normalized stream
+                # — more reliable than a ReduceMean input (the variance
+                # ReduceMean consumes the centered square, not the stream).
+                sub_in = nd.inputs[0]
             nxt.extend(i for i in nd.inputs if i and i not in G.inits)
         frontier = nxt
         if not frontier:
             break
     if "ReduceMean" in seen_ops and ("Sqrt" in seen_ops or "Pow" in seen_ops):
-        return True, data_in
+        return True, sub_in or data_in
     return False, None
 
 
