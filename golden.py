@@ -241,6 +241,84 @@ def cfg_cache_sweep(
     return {"metric": "cfg_cache_price", "frames": int(rows and n_frames), "rows": rows}
 
 
+def deep_cache_sweep(
+    pack_dir,
+    ref: dict,
+    settings=((1, 7), (2, 7), (2, 11), (3, 7)),
+    repeats: int = 3,
+    **config_overrides,
+) -> dict:
+    """Price the deep-block cache: mel drift + step time per (interval r,
+    shallow blocks j) setting (``models/sampler.py`` deep_cache_*).
+
+    Same protocol as :func:`cfg_cache_sweep`: every setting integrates from
+    the SAME noise; the first setting (interval 1) is the exact baseline.
+    Drift is REPORTED, not judged — quality acceptance is a decision for
+    real weights, like every other priced knob."""
+    import time as _time
+
+    import jax
+
+    from vietvoice_tts_tpu.runtime.engine_core import EngineCore
+    from vietvoice_tts_tpu.runtime.serialization import load_params
+    from vietvoice_tts_tpu.runtime.session import config_from_pack
+
+    pack = Path(pack_dir)
+    params = load_params(pack / "params.msgpack")
+    rows = []
+    base_latent = None
+    for r_int, j in settings:
+        cfg = config_from_pack(
+            pack,
+            nfe_step=int(ref["nfe_step"]),
+            nfe_deep_cache_interval=int(r_int),
+            nfe_deep_cache_blocks=int(j),
+            **config_overrides,
+        )
+        core = EngineCore(cfg, params, cfg.vocab_size)
+        wave, ref_len, ids, n_frames, noise, ref_mel = _latent_inputs(cfg, pack, ref)
+        args = (
+            wave,
+            np.asarray([ref_len], np.int32),
+            ids[None],
+            np.asarray([n_frames], np.int32),
+        )
+        ctx = (
+            jax.default_matmul_precision("highest")
+            if str(cfg.compute_dtype) == "float32"
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            latent = core.mel_latent_batch(*args, x0=noise)
+        times = []
+        with ctx:
+            for _ in range(max(1, repeats)):
+                t0 = _time.perf_counter()
+                core.mel_latent_batch(*args, x0=noise)
+                times.append(_time.perf_counter() - t0)
+        target = slice(ref_len, n_frames)
+        if base_latent is None:
+            base_latent = latent
+        drift = np.abs(latent[0, target] - base_latent[0, target])
+        vs_ref = np.abs(latent[0, target] - ref_mel[0, target])
+        rows.append(
+            {
+                "deep_cache_interval": int(r_int),
+                "deep_cache_blocks": int(j),
+                "mel_mae_vs_exact": float(drift.mean()),
+                "mel_max_abs_vs_exact": float(drift.max()),
+                "mel_mae_vs_onnx": float(vs_ref.mean()),
+                "latent_ms": round(min(times) * 1e3, 2),
+            }
+        )
+    base_ms = rows[0]["latent_ms"]
+    for row in rows:
+        row["speedup_vs_exact"] = (
+            round(base_ms / row["latent_ms"], 3) if row["latent_ms"] else None
+        )
+    return {"metric": "deep_cache_price", "frames": int(rows and n_frames), "rows": rows}
+
+
 def precision_drift(
     pack_dir,
     frames=(384, 448, 512, 704),
@@ -403,6 +481,15 @@ def main() -> int:
         "same noise and print mel drift vs exact + step-time speedup",
     )
     ap.add_argument(
+        "--deep-cache-sweep",
+        default=None,
+        metavar="R1:J1,R2:J2,...",
+        help="instead of the golden gate, price the deep-block cache: run "
+        "the latent pipeline at each (interval r, shallow blocks j) pair "
+        "(e.g. 1:7,2:7,2:11) from the same noise and print mel drift vs "
+        "exact + step-time speedup",
+    )
+    ap.add_argument(
         "--serving-precision",
         action="store_true",
         help="run the TPU side with the pack's serving dtypes (bf16 compute, "
@@ -478,6 +565,15 @@ def main() -> int:
     if args.cfg_cache_sweep:
         intervals = tuple(int(x) for x in args.cfg_cache_sweep.split(","))
         sweep = cfg_cache_sweep(pack, ref, intervals=intervals, **overrides)
+        sweep["precision"] = "serving" if args.serving_precision else "float32"
+        print(json.dumps(sweep))
+        return 0
+    if args.deep_cache_sweep:
+        settings = tuple(
+            tuple(int(v) for v in pair.split(":"))
+            for pair in args.deep_cache_sweep.split(",")
+        )
+        sweep = deep_cache_sweep(pack, ref, settings=settings, **overrides)
         sweep["precision"] = "serving" if args.serving_precision else "float32"
         print(json.dumps(sweep))
         return 0

@@ -280,13 +280,30 @@ def dit_forward_embedded(
     t: jnp.ndarray,  # [B] flow time in [0, 1]
     mask: jnp.ndarray,  # [B, N] bool, True = valid frame
     time_mod=None,  # optional precomputed (mods [depth, B', 6d], fmod [B', 2d])
-) -> jnp.ndarray:
+    shallow_blocks: int | None = None,  # deep-cache split point (static)
+    deep_state: jnp.ndarray | None = None,  # cached deep-trunk residual
+    return_deep_state: bool = False,
+    presplit_blocks=None,  # optional (shallow_tree, deep_tree), pre-sliced
+):
     """Predict the flow velocity field; masked frames return exactly 0.
 
     ``time_mod`` lets the sampler hoist the AdaLN modulation across the NFE
     solve (``dit_time_modulations``): B' may be 1 (all rows share one t —
     the inference case) and broadcasts over the batch. When None the
-    modulation is computed here from ``t`` per row (training path)."""
+    modulation is computed here from ``t`` per row (training path).
+
+    **Deep-block caching** (training-free NFE acceleration, TeaCache /
+    Δ-DiT family — opt-in via the sampler): with ``shallow_blocks=j``,
+
+    - ``return_deep_state=True`` runs ALL blocks but also returns the deep
+      trunk's residual contribution ``h_L − h_j`` (a ``(out, state)``
+      tuple) — the quantity that drifts slowly between adjacent flow
+      times;
+    - ``deep_state=state`` runs only blocks ``0..j`` on the fresh input
+      and substitutes the cached deep contribution (``h ≈ h_j + state``),
+      skipping ``depth − j`` blocks of compute.
+
+    The split is static, so each variant is its own XLA program."""
     dtype = cfg.compute_dtype
     b, n, _ = x.shape
     mask_f = mask[..., None].astype(jnp.float32)
@@ -406,12 +423,39 @@ def dit_forward_embedded(
         h = h + g_f[:, None].astype(dtype) * f
         return h, None
 
-    h, _ = jax.lax.scan(block, h, (blocks_scan, mods))
+    deep_out = None
+    if shallow_blocks is None:
+        h, _ = jax.lax.scan(block, h, (blocks_scan, mods))
+    else:
+        j = int(shallow_blocks)
+        if not 1 <= j < cfg.depth:
+            raise ValueError(
+                f"shallow_blocks={j} must be in [1, depth={cfg.depth})"
+            )
+        if presplit_blocks is not None:
+            # Caller pre-sliced the stacked weights OUTSIDE its step scan:
+            # slicing here, inside a scanned body, makes XLA re-materialize
+            # the sliced weight copies every loop iteration (measured: the
+            # deep-cache path got SLOWER than exact at j=11 before this).
+            shallow, deep = presplit_blocks
+        else:
+            shallow = jax.tree.map(lambda a: a[:j], blocks_scan)
+            deep = jax.tree.map(lambda a: a[j:], blocks_scan)
+        h, _ = jax.lax.scan(block, h, (shallow, mods[:j]))
+        if deep_state is not None:
+            h = h + deep_state.astype(h.dtype)
+        else:
+            h_deep, _ = jax.lax.scan(block, h, (deep, mods[j:]))
+            deep_out = h_deep - h
+            h = h_deep
 
     sh, sc = jnp.split(fmod, 2, axis=-1)
     h = _layernorm(h) * (1.0 + sc[:, None]) + sh[:, None]
     out = h @ params["final_proj"]["w"] + params["final_proj"]["b"]  # f32
-    return jnp.where(mask[..., None], out, 0.0)
+    out = jnp.where(mask[..., None], out, 0.0)
+    if return_deep_state:
+        return out, deep_out
+    return out
 
 
 def dit_forward(

@@ -46,6 +46,16 @@ class SamplerConfig:
     # 1 = exact reference semantics. With uncond_interval > 1, fuse_nfe
     # unrolls the inner cond-only scan (segments stay rolled).
     uncond_interval: int = 1
+    # Deep-block caching (opt-in, TeaCache/Δ-DiT family): every r-th eval
+    # runs all ``depth`` DiT blocks and records the deep trunk's residual
+    # contribution (h_L − h_j); the r−1 evals in between run only the
+    # first ``deep_cache_blocks`` blocks on the fresh input and reuse the
+    # cached deep contribution — the deep residual drifts slowly between
+    # adjacent flow times while the shallow blocks track the fast-changing
+    # x_t. 1 = exact. Mutually exclusive with uncond_interval > 1 (the two
+    # caches would interact unpredictably; pick one after pricing both).
+    deep_cache_interval: int = 1
+    deep_cache_blocks: int = 7
 
 
 def sway_time_grid(cfg: SamplerConfig) -> jnp.ndarray:
@@ -123,7 +133,13 @@ def flow_matching_sample(
         return v2[:b], v2[b:]
 
     k = max(1, cfg.uncond_interval)
-    if k == 1:
+    r = max(1, cfg.deep_cache_interval)
+    if k > 1 and r > 1:
+        raise ValueError(
+            "uncond_interval and deep_cache_interval are mutually exclusive "
+            "— price both (golden.py) and enable at most one"
+        )
+    if k == 1 and r == 1:
 
         def euler_step(x, step):
             t_cur, dt, mod, fmod = step
@@ -136,6 +152,70 @@ def flow_matching_sample(
             (t_starts, dts, mods_all, fmod_all),
             unroll=max(1, cfg.fuse_nfe),
         )
+        return x
+
+    if r > 1:
+        # Deep-block caching: scan over segments of r evals. The first eval
+        # of each segment runs the full depth and records the deep trunk's
+        # residual contribution; the r−1 evals after it run only the first
+        # ``deep_cache_blocks`` blocks and reuse that contribution. The
+        # cache never crosses a segment boundary, so the carry is x alone.
+        # Eval count pads up to whole segments with dt=0 identity steps.
+        j = int(cfg.deep_cache_blocks)
+        n_evals = int(t_starts.shape[0])
+        n_seg = -(-n_evals // r)
+        pad = n_seg * r - n_evals
+        t_seg = jnp.pad(t_starts, (0, pad)).reshape(n_seg, r)
+        dt_seg = jnp.pad(dts, (0, pad)).reshape(n_seg, r)
+        mod_seg = jnp.pad(mods_all, ((0, pad), (0, 0), (0, 0))).reshape(
+            n_seg, r, *mods_all.shape[1:]
+        )
+        fmod_seg = jnp.pad(fmod_all, ((0, pad), (0, 0))).reshape(
+            n_seg, r, fmod_all.shape[1]
+        )
+
+        # Pre-slice the stacked block weights OUTSIDE the segment scan —
+        # sliced inside the scanned body, XLA re-materializes the weight
+        # copies every iteration (measured: slower than exact at j=11).
+        blocks_scan = {
+            k: v for k, v in params["blocks"].items() if k != "ada"
+        }
+        presplit = (
+            jax.tree.map(lambda a: a[:j], blocks_scan),
+            jax.tree.map(lambda a: a[j:], blocks_scan),
+        )
+
+        def eval2(x, t_cur, mod, fmod, deep_state=None, record=False):
+            x2 = jnp.concatenate([x, x], axis=0)
+            tb = jnp.full((2 * b,), t_cur, jnp.float32)
+            return dit_forward_embedded(
+                params, dit_cfg, x2, cond2, text_emb2, tb, mask2,
+                time_mod=(mod[:, None], fmod[None]),
+                shallow_blocks=j,
+                deep_state=deep_state,
+                return_deep_state=record,
+                presplit_blocks=presplit,
+            )
+
+        def segment(x, seg):
+            ts, dtss, mods, fmods = seg
+            v2, deep = eval2(x, ts[0], mods[0], fmods[0], record=True)
+            x = x + dtss[0] * cfg_combine(v2[:b], v2[b:])
+
+            def inner(x, step):
+                t_cur, dt, mod, fmod = step
+                v2s = eval2(x, t_cur, mod, fmod, deep_state=deep)
+                return x + dt * cfg_combine(v2s[:b], v2s[b:]), None
+
+            x, _ = jax.lax.scan(
+                inner,
+                x,
+                (ts[1:], dtss[1:], mods[1:], fmods[1:]),
+                unroll=max(1, cfg.fuse_nfe),
+            )
+            return x, None
+
+        x, _ = jax.lax.scan(segment, x, (t_seg, dt_seg, mod_seg, fmod_seg))
         return x
 
     # CFG caching: scan over segments of k evals. Each segment refreshes

@@ -107,6 +107,8 @@ class EngineCore:
             cfg_strength=config.cfg_strength,
             sway_sampling_coef=config.sway_sampling_coef,
             uncond_interval=config.nfe_uncond_interval,
+            deep_cache_interval=config.nfe_deep_cache_interval,
+            deep_cache_blocks=config.nfe_deep_cache_blocks,
         )
         self.frontend = MelFrontend(
             sample_rate=config.sample_rate,
