@@ -90,6 +90,13 @@ def guard(out_path: str, frames: int = 128, per_device_batch: int = 2) -> int:
         "dp8": dict(data=8, model=1, mesh=True),
         "tp4": dict(data=1, model=4, mesh=True),
         "dp2_tp4": dict(data=2, model=4, mesh=True),
+        # Sequence parallelism spends the model axis on frames instead of
+        # weight shards (params replicate, attention goes through
+        # parallel/sequence). Recording it here gives the long-context mode
+        # a standing, deterministic cost record next to TP — argument
+        # bytes ≈ single (replicated weights) is EXPECTED for sp4, not a
+        # regression; flops/device should drop with the frame split.
+        "sp4": dict(data=1, model=4, mesh=True, sp=True),
     }
     entries = {}
     for name, c in configs.items():
@@ -100,7 +107,9 @@ def guard(out_path: str, frames: int = 128, per_device_batch: int = 2) -> int:
             else None
         )
         b = per_device_batch * dp
-        cfg = ModelConfig(max_batch_size=b, **guard_cfg)
+        cfg = ModelConfig(
+            max_batch_size=b, sequence_parallel=bool(c.get("sp")), **guard_cfg
+        )
         engine = TTSEngine(cfg, mesh=mesh)
         core = engine.engine_core
         rng = np.random.default_rng(0)
@@ -155,6 +164,7 @@ def guard(out_path: str, frames: int = 128, per_device_batch: int = 2) -> int:
             "dp8": {"flops": 1.0003, "argument_bytes": 1.0},
             "tp4": {"flops": 0.7614, "argument_bytes": 0.6117},
             "dp2_tp4": {"flops": 0.7615, "argument_bytes": 0.6117},
+            "sp4": {"flops": 0.2568, "argument_bytes": 1.0},
         },
         "note": (
             "Compile-derived per-device numbers (deterministic; wall time "
@@ -163,9 +173,12 @@ def guard(out_path: str, frames: int = 128, per_device_batch: int = 2) -> int:
             "at ~0.76 flops / ~0.61 argument bytes rather than 0.25 "
             "because the DSP ends (1024-point DFT frontend, iSTFT head) "
             "and norms are deliberately unsharded at guard dims — the "
-            "pinned healthy_baselines are the reference. A tp4 ratio "
-            "jumping toward 1.0 (or dp8 toward 8.0) means sharding "
-            "regressed to replication."
+            "pinned healthy_baselines are the reference. sp4 (sequence "
+            "parallelism) splits FRAMES: flops ≈ 0.26 (everything is "
+            "frame-parallel, attention pays the collective overhead) with "
+            "argument bytes ≈ 1.0 — replicated weights are the DESIGN "
+            "there, not a regression. A tp4 ratio jumping toward 1.0 (or "
+            "dp8 toward 8.0) means sharding regressed to replication."
         ),
     }
     text = json.dumps(record, indent=1)
