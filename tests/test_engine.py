@@ -342,6 +342,48 @@ class TestStreamingSynthesis:
             pieces = list(api.synthesize_streaming("Xin chào."))
             assert pieces and all(p.dtype == np.int16 for p in pieces)
 
+    def test_first_chunk_cap_shortens_first_piece(self, tiny_engine):
+        """first_chunk_duration caps the head chunk so playback starts
+        sooner on long texts (TTFA = one chunk's latency). Measured on the
+        real chip: 561 → 174 ms at cap 4.0. The stream stops byte-matching
+        the blocking output (different chunking) but stays valid audio of
+        the same total scale."""
+        eng = tiny_engine
+        ref_audio, ref_text = eng.model_session_manager.select_sample()
+        ref_f32 = eng._load_ref(ref_audio).astype(np.float32) / 32768.0
+        base_plans = eng._plan_chunks(ref_f32, ref_text, self.LONG)
+        # Cap at half the base head chunk's target duration so the policy
+        # must engage regardless of the tiny config's chunk sizes.
+        sr, hop = eng.config.sample_rate, eng.config.hop_length
+        ref_frames = base_plans[0].ref_len
+        head_target_s = (base_plans[0].total_len - ref_frames) * hop / sr
+        cap = head_target_s / 2
+        cap_plans = eng._plan_chunks(
+            ref_f32, ref_text, self.LONG, first_chunk_cap=cap
+        )
+        assert len(cap_plans) > len(base_plans)
+        assert (cap_plans[0].total_len - cap_plans[0].ref_len) < (
+            base_plans[0].total_len - base_plans[0].ref_len
+        )
+        # End-to-end: the capped stream is valid audio of the same scale.
+        base = list(eng.synthesize_streaming(self.LONG))
+        capped = list(
+            eng.synthesize_streaming(self.LONG, first_chunk_duration=cap)
+        )
+        assert len(capped) > len(base)
+        total_base = sum(len(p) for p in base)
+        total_capped = sum(len(p) for p in capped)
+        assert 0.7 < total_capped / total_base < 1.3
+        assert all(p.dtype == np.int16 for p in capped)
+
+    def test_default_cap_off_preserves_equality(self, tiny_engine):
+        """With the cap unset the stream≡batch guarantee must hold — the
+        cap is strictly opt-in."""
+        assert tiny_engine.config.streaming_first_chunk_duration is None
+        batch_wave, _ = tiny_engine.synthesize(self.LONG)
+        pieces = list(tiny_engine.synthesize_streaming(self.LONG))
+        np.testing.assert_array_equal(np.concatenate(pieces), batch_wave)
+
 
 class TestStreamCrossfadeMath:
     def test_matches_batch_concatenation(self):

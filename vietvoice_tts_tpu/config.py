@@ -75,6 +75,15 @@ class ModelConfig:
     cross_fade_duration: float = 0.1
     max_chunk_duration: float = 20.0
     min_target_duration: float = 1.0
+    # Streaming-only first-chunk duration cap (seconds of target audio).
+    # Time-to-first-audio for a long text is one chunk's latency; capping
+    # the FIRST chunk short starts playback much sooner — measured on the
+    # long-text bench (real chip): TTFA 561→174 ms at cap 4.0, →114 ms at
+    # cap 2.5, total wall +5–12% — at the cost of one extra cross-fade
+    # boundary near the start. None (default) keeps the stream
+    # byte-identical to blocking synthesize() — the guarantee tests pin;
+    # per-call override via synthesize_streaming(first_chunk_duration=…).
+    streaming_first_chunk_duration: Optional[float] = None
 
     # ---- Mel front-end (Vocos-style, F5-TTS family) ----
     n_mels: int = 100

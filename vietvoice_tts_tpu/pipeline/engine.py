@@ -162,6 +162,7 @@ class TTSEngine:
         reference_text: str,
         target_text: str,
         speed: Optional[float] = None,
+        first_chunk_cap: Optional[float] = None,
     ) -> List[ChunkPlan]:
         cfg = self.config
         tp = self.text_processor
@@ -220,6 +221,34 @@ class TTSEngine:
                 len(chunks),
                 available,
             )
+
+        if first_chunk_cap and chunks:
+            # Streaming TTFA policy: time-to-first-audio is ONE chunk's
+            # latency, so cap the first chunk's target duration and plan
+            # the remainder with the normal budget. Same chunking rules
+            # (word boundaries, short-chunk merging) — just a smaller
+            # budget for the head; only engages when it meaningfully helps.
+            head_len = tp.calculate_text_length(chunks[0], cfg.pause_punctuation)
+            head_dur = max(head_len / speaking_rate / speed, cfg.min_target_duration)
+            if head_dur > first_chunk_cap * 1.25:
+                head_chars = max(8, int(speaking_rate * first_chunk_cap * speed))
+                head_split = tp.chunk_text(chunks[0], max_chars=head_chars)
+                if len(head_split) > 1:
+                    rest_avail = max(
+                        cfg.max_chunk_duration - ref_audio_duration - 1.0,
+                        first_chunk_cap,
+                    )
+                    rest_chars = int(speaking_rate * rest_avail * speed)
+                    rest_text = " ".join(head_split[1:])
+                    rest = tp.chunk_text(rest_text, max_chars=rest_chars)
+                    chunks = [head_split[0], *rest, *chunks[1:]]
+                    log.info(
+                        "Streaming first-chunk cap %.1fs: head %d chars, "
+                        "%d chunks total",
+                        first_chunk_cap,
+                        len(head_split[0]),
+                        len(chunks),
+                    )
 
         plans: List[ChunkPlan] = []
         for i, chunk in enumerate(chunks):
@@ -439,22 +468,37 @@ class TTSEngine:
         reference_audio: Optional[str] = None,
         reference_text: Optional[str] = None,
         speed: Optional[float] = None,
+        first_chunk_duration: Optional[float] = None,
     ):
         """Stream synthesis: yields int16 waveform pieces as chunks complete.
 
-        Concatenating every yielded piece equals ``synthesize()``'s output
-        (same planning, same per-chunk seeds, same RMS-matched equal-power
-        cross-fade applied incrementally) — but the first piece arrives after
-        ONE chunk's latency instead of the whole utterance's. A capability
-        the reference does not have (its loop materializes all chunks before
-        concatenation, ``core/tts_engine.py:225-244``).
+        By default, concatenating every yielded piece equals
+        ``synthesize()``'s output (same planning, same per-chunk seeds, same
+        RMS-matched equal-power cross-fade applied incrementally) — but the
+        first piece arrives after ONE chunk's latency instead of the whole
+        utterance's. A capability the reference does not have (its loop
+        materializes all chunks before concatenation,
+        ``core/tts_engine.py:225-244``).
+
+        ``first_chunk_duration`` (or ``config.streaming_first_chunk_duration``)
+        additionally caps the FIRST chunk's target audio length so playback
+        starts sooner on long texts — at the cost of one extra cross-fade
+        boundary, and the stream then no longer byte-matches the blocking
+        output (the chunking differs).
         """
         ref_audio, ref_text = self.model_session_manager.select_sample(
             gender, group, area, emotion, sample_iteration, reference_audio, reference_text
         )
         ref_int16 = self._load_ref(ref_audio)
         ref_f32 = ref_int16.astype(np.float32) / 32768.0
-        plans = self._plan_chunks(ref_f32, ref_text, text, speed=speed)
+        cap = (
+            first_chunk_duration
+            if first_chunk_duration is not None
+            else self.config.streaming_first_chunk_duration
+        )
+        plans = self._plan_chunks(
+            ref_f32, ref_text, text, speed=speed, first_chunk_cap=cap
+        )
         yield from self.audio_processor.stream_with_crossfade(
             self._iter_chunk_waves(plans, ref_f32),
             self.config.cross_fade_duration,
