@@ -364,6 +364,41 @@ class TestStreamingRoute:
         resp = run(client.post("/api/v1/synthesize/stream", json={"text": ""}))
         assert resp.status_code == 422
 
+    def test_stream_route_first_chunk_duration(self, tiny_pack_dir):
+        """The opt-in TTFA knob is reachable over HTTP; the capped stream
+        is valid streaming WAV (chunking differs, so no byte-equality)."""
+        from tests.conftest import tiny_config
+        from vietvoice_tts_tpu.api import tts_engine as te
+
+        old_cfg = te._engine_config
+        te.reset_engine()
+        te._engine_config = tiny_config(model_cache_dir=tiny_pack_dir)
+        try:
+            client = AsyncTestClient(app_module.app)
+            long_text = " ".join(
+                f"Câu số {i} trong đoạn văn dài." for i in range(60)
+            )
+            resp = run(
+                client.post(
+                    "/api/v1/synthesize/stream",
+                    json={"text": long_text[:990], "first_chunk_duration": 1.0},
+                )
+            )
+            assert resp.status_code in (200, 201)
+            assert resp.content[:4] == b"RIFF"
+            assert len(resp.content) > 44
+            # Out-of-range knob is rejected by the schema.
+            bad = run(
+                client.post(
+                    "/api/v1/synthesize/stream",
+                    json={"text": "xin chào", "first_chunk_duration": -1},
+                )
+            )
+            assert bad.status_code == 422
+        finally:
+            te.reset_engine()
+            te._engine_config = old_cfg
+
 
 class TestSyntheticPackPolicy:
     """The SERVER refuses synthetic (seeded-random) packs by default: a

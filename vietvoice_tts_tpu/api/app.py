@@ -26,6 +26,7 @@ from .schemas import (
     HealthResponse,
     StatsResponse,
     SynthesizeFileResponse,
+    StreamSynthesizeRequest,
     SynthesizeRequest,
 )
 from .settings import settings
@@ -255,11 +256,12 @@ async def synthesize_stream(data: SynthesizeRequest) -> Stream:
 
 
 @app.post("/api/v1/synthesize/stream")
-async def synthesize_stream_chunks(data: SynthesizeRequest) -> Stream:
+async def synthesize_stream_chunks(data: StreamSynthesizeRequest) -> Stream:
     """Stream audio chunk-by-chunk as synthesis progresses (beyond-reference
     route): a streaming-WAV header followed by PCM pieces, so long texts
     start playing after the FIRST chunk's latency instead of the whole
-    utterance's. Chunked transfer; total PCM equals /synthesize's payload."""
+    utterance's. Chunked transfer; total PCM equals /synthesize's payload
+    unless ``first_chunk_duration`` re-chunks the head for faster TTFA."""
     from .tts_engine import synthesize_stream_async
 
     return Stream(
@@ -271,6 +273,7 @@ async def synthesize_stream_chunks(data: SynthesizeRequest) -> Stream:
             area=data.area,
             emotion=data.emotion,
             sample_iteration=data.sample_iteration,
+            first_chunk_duration=data.first_chunk_duration,
         ),
         media_type="audio/wav",
         headers={"Content-Disposition": 'inline; filename="speech.wav"'},

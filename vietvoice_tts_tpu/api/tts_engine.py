@@ -101,6 +101,7 @@ async def synthesize_stream_async(
     area: Area | None,
     emotion: Emotion | None,
     sample_iteration: int | None,
+    first_chunk_duration: float | None = None,
 ):
     """Async byte stream: a streaming-WAV header, then PCM pieces as each
     chunk finishes on the device. Each blocking ``next()`` on the underlying
@@ -117,6 +118,7 @@ async def synthesize_stream_async(
         emotion=emotion.value if emotion else _engine_config.emotion,
         sample_iteration=sample_iteration,
         speed=speed,
+        first_chunk_duration=first_chunk_duration,
     )
     yield wav_stream_header(engine.config.sample_rate)
     sentinel = object()

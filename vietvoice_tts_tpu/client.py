@@ -85,12 +85,16 @@ class TTSApi:
         reference_audio: Optional[str] = None,
         reference_text: Optional[str] = None,
         speed: Optional[float] = None,
+        first_chunk_duration: Optional[float] = None,
     ):
         """Stream synthesis: yields int16 waveform pieces as chunks finish.
 
         Concatenating the pieces equals ``synthesize()``'s waveform; the
         first piece arrives after one chunk's latency (beyond-reference
-        capability — see ``TTSEngine.synthesize_streaming``)."""
+        capability — see ``TTSEngine.synthesize_streaming``).
+        ``first_chunk_duration`` caps the head chunk for faster
+        time-to-first-audio (the stream then no longer byte-matches the
+        blocking output)."""
         if text is None:
             raise ValueError("Text cannot be None")
         return self.engine.synthesize_streaming(
@@ -103,6 +107,7 @@ class TTSApi:
             reference_audio=reference_audio,
             reference_text=reference_text,
             speed=speed,
+            first_chunk_duration=first_chunk_duration,
         )
 
     def synthesize_to_file(
