@@ -319,6 +319,59 @@ def _rest_sweep_point(api, client, n_requests: int, concurrency: int,
     return point
 
 
+def _rest_open_loop_point(api, client, n_requests: int, rate_rps: float,
+                          max_wait_ms: float = 10.0, max_batch=None) -> dict:
+    """Open-loop serving measurement: requests ARRIVE at a fixed rate
+    regardless of completions (unlike the closed-loop sweep, where p50 is
+    pinned to c/throughput by Little's law). This is the SLO view: what
+    latency does a client see at a given offered load?"""
+    import anyio
+
+    engine = api.engine
+    engine.enable_micro_batching(max_batch=max_batch, max_wait_ms=max_wait_ms)
+    latencies: list[float] = []
+
+    async def one(i):
+        t0 = time.perf_counter()
+        resp = await client.post(
+            "/api/v1/synthesize",
+            json={"text": f"Câu kiểm tra số {i} trong bài đo hiệu năng.",
+                  "speed": 0.9},
+        )
+        latencies.append(time.perf_counter() - t0)
+        assert resp.status_code in (200, 201), resp.status_code
+
+    async def drive():
+        await one(-1)  # warm this batcher instance
+        latencies.clear()
+        t0 = time.perf_counter()
+        async with anyio.create_task_group() as tg:
+            for i in range(n_requests):
+                delay = i / rate_rps - (time.perf_counter() - t0)
+                if delay > 0:
+                    await anyio.sleep(delay)
+                tg.start_soon(one, i)
+        return time.perf_counter() - t0
+
+    wall = anyio.run(drive)
+    engine.batcher.shutdown()
+    engine.batcher = None
+    lat = sorted(latencies)
+    point = {
+        "mode": "open_loop",
+        "offered_rps": rate_rps,
+        "achieved_rps": round(n_requests / wall, 2),
+        "requests": n_requests,
+        "p50_latency_ms": round(statistics.median(lat) * 1e3, 1),
+        "p90_latency_ms": round(lat[max(0, int(len(lat) * 0.9) - 1)] * 1e3, 1),
+        "max_latency_ms": round(lat[-1] * 1e3, 1),
+    }
+    log(f"[5 rest_serving open-loop] {rate_rps} req/s offered: "
+        f"p50 {point['p50_latency_ms']:.0f} ms, p90 {point['p90_latency_ms']:.0f} ms, "
+        f"achieved {point['achieved_rps']} req/s")
+    return point
+
+
 def bench_latency_breakdown(core, hop: int, n_frames: int = 384) -> dict:
     """Split the batch-1 latency into H2D / device-compute / D2H.
 
@@ -431,9 +484,16 @@ def bench_rest_serving(api, n_requests: int = 64) -> dict:
             _rest_sweep_point(api, client, n_requests, concurrency, wait,
                               max_batch=cap)
         )
+    # Open-loop points (SLO view): latency at fixed offered load, below
+    # and near the measured capacity (~14-15 req/s; 16 offered overloads:
+    # p50 1 s+ and achieved caps at ~13.3).
+    open_loop = [
+        _rest_open_loop_point(api, client, n_requests, rate, max_batch=12)
+        for rate in (8.0, 12.0, 14.0)
+    ]
     te._engine = None
     best = max(sweep, key=lambda p: p["rtf"])
-    return {**best, "sweep": sweep}
+    return {**best, "sweep": sweep, "open_loop": open_loop}
 
 
 def _slow(link: dict) -> bool:
