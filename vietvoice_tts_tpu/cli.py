@@ -90,6 +90,21 @@ Interactive mode: run without arguments.
         "every k-th NFE eval (1 = exact; 2 cuts DiT compute ~25%%, "
         "quality should be judged on real weights first)",
     )
+    parser.add_argument(
+        "--nfe-deep-cache-interval",
+        type=int,
+        default=1,
+        help="Deep-block-cache acceleration: run the full DiT depth every "
+        "r-th NFE eval and reuse the deep trunk's contribution in between "
+        "(1 = exact; 2 measured 1.29x solve — judge quality on real "
+        "weights first; mutually exclusive with --nfe-uncond-interval)",
+    )
+    parser.add_argument(
+        "--nfe-deep-cache-blocks",
+        type=int,
+        default=7,
+        help="Shallow blocks re-evaluated on cached evals (of dit depth)",
+    )
 
     parser.add_argument(
         "--cross-fade-duration", type=float, default=0.1, help="Cross-fade seconds"
@@ -153,6 +168,8 @@ def create_config(args: Union[argparse.Namespace, Dict[str, Any]]) -> ModelConfi
         nfe_step=args.nfe_step,
         fuse_nfe=args.fuse_nfe,
         nfe_uncond_interval=args.nfe_uncond_interval,
+        nfe_deep_cache_interval=args.nfe_deep_cache_interval,
+        nfe_deep_cache_blocks=args.nfe_deep_cache_blocks,
         speed=args.speed,
         random_seed=args.random_seed,
         cfg_strength=args.cfg_strength,
