@@ -21,6 +21,82 @@ def processor(tiny_pack_dir):
     return TextProcessor(os.path.join(tiny_pack_dir, "vietvoice-tpu-v1", "vocab.txt"))
 
 
+class TestFuzzInvariants:
+    """Randomized-input invariants: the cleaning/chunking pipeline must
+    never crash and must keep its guarantees on arbitrary unicode — the
+    REST surface accepts any 1-1000-char string, so 'weird input' is a
+    production path, not an edge case."""
+
+    def _random_texts(self, n=200, seed=0):
+        import random
+
+        rng = random.Random(seed)
+        pools = [
+            # arbitrary unicode planes
+            lambda: chr(rng.randrange(1, 0x2FFF)),
+            # Vietnamese + ASCII letters (the whitelist)
+            lambda: rng.choice("aăâbcdđeêghiklmnoôơpqrstuưvxyàáạảãầấậẩẫ "),
+            # punctuation / digits / controls
+            lambda: rng.choice(".,?!:;()-\n\t\r0123456789'\"@#$%^&*"),
+            # emoji & symbols
+            lambda: rng.choice("🙂🎉→⇒≠∑√€"),
+        ]
+        out = []
+        for _ in range(n):
+            k = rng.randrange(0, 400)
+            out.append("".join(rng.choice(pools)() for _ in range(k)))
+        return out
+
+    def test_clean_text_never_crashes_and_output_is_clean(self):
+        for t in self._random_texts():
+            c = clean_text(t)
+            assert isinstance(c, str)
+            # Idempotence: cleaning a cleaned string is a no-op.
+            assert clean_text(c) == c
+            # No newlines/tabs survive; no doubled . or , (the reference
+            # dedupes exactly these two — text_processor.py:66-67 — and
+            # deliberately leaves ?? / !! alone).
+            assert "\n" not in c and "\t" not in c and "\r" not in c
+            for p in ".,":
+                assert p + p not in c
+            # Non-empty output ends with terminal punctuation.
+            if c:
+                assert c[-1] in ".!?,"
+
+    def test_chunk_text_preserves_words_and_respects_budget(self):
+        for t in self._random_texts(seed=1):
+            c = clean_text(t)
+            if not c:
+                continue
+            for max_chars in (10, 40, 120):
+                chunks = chunk_text(c, max_chars=max_chars)
+                assert all(ch.strip() for ch in chunks)
+                # No word is ever split: every chunk's words appear in the
+                # cleaned text's word sequence, in order.
+                all_words = [
+                    w for ch in chunks for w in ch.replace(",", " ").split()
+                ]
+                src_words = c.replace(",", " ").split()
+                stripped = [w.strip(".!?,") for w in all_words if w.strip(".!?,")]
+                src_stripped = [
+                    w.strip(".!?,") for w in src_words if w.strip(".!?,")
+                ]
+                assert stripped == src_stripped, (t[:40], max_chars)
+
+    def test_text_length_total_is_additive_enough(self):
+        """The duration heuristic on chunks must roughly sum to the whole
+        text's (the chunk planner budgets per chunk on this)."""
+        for t in self._random_texts(n=60, seed=2):
+            c = clean_text(t)
+            if len(c) < 20:
+                continue
+            total = text_length(c, ".,?!:")
+            parts = chunk_text(c, max_chars=40)
+            part_sum = sum(text_length(p, ".,?!:") for p in parts)
+            assert part_sum >= total * 0.8
+            assert part_sum <= total * 1.6  # punctuation may be added
+
+
 class TestCleanText:
     def test_keeps_vietnamese(self):
         assert clean_text("Xin chào thế giới") == "Xin chào thế giới."
