@@ -403,9 +403,17 @@ def bench_latency_breakdown(core, hop: int, n_frames: int = 384) -> dict:
     )
     args_dev = [jax.device_put(a) for a in args_np]
     jax.block_until_ready(args_dev)
-    dev_p50, _ = _timed(
-        lambda: np.asarray(jax.device_get(fn(core.params, *args_dev))), reps=5
-    )
+    # Compute leg measured DIRECTLY (block_until_ready, no fetch): the old
+    # subtraction form (dev_p50 − d2h) underestimated compute by ~25% when
+    # the fetch overlapped the tail of the program (round-5 finding:
+    # subtraction said 79.5 ms at b1@384, direct measurement says ~103).
+    def compute_only():
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(core.params, *args_dev))
+        return time.perf_counter() - t0
+
+    compute_only()
+    compute = statistics.median([compute_only() for _ in range(5)])
 
     def fetch_only():
         out = fn(core.params, *args_dev)
@@ -416,8 +424,9 @@ def bench_latency_breakdown(core, hop: int, n_frames: int = 384) -> dict:
 
     fetch_only()
     d2h = statistics.median([fetch_only() for _ in range(5)])
-    h2d = max(full_p50 - dev_p50, 0.0)
-    compute = max(dev_p50 - d2h, 0.0)
+    # Residual: what the numpy-input call pays beyond compute+fetch (host
+    # staging + H2D; can come out slightly negative under transfer overlap).
+    h2d = max(full_p50 - compute - d2h, 0.0)
     # The serving path: voice-conditioning cache resident on device, so the
     # waveform H2D disappears (only text ids + lengths cross the link).
     def cached_call():
