@@ -400,6 +400,42 @@ class TestStreamingRoute:
             te._engine_config = old_cfg
 
 
+class TestVoicesRoute:
+    """GET /api/v1/voices: the bundled catalog browsable over HTTP
+    (beyond-reference) with tag filters and paging."""
+
+    def test_unfiltered_returns_catalog(self, client):
+        resp = run(client.get("/api/v1/voices"))
+        assert resp.status_code == 200
+        d = resp.json()
+        assert d["total"] >= 238  # the real reference catalog is bundled
+        assert len(d["voices"]) == 50  # default page size
+        v = d["voices"][0]
+        assert set(v) == {
+            "filename", "gender", "group", "area", "emotion", "text",
+            "clip_available",
+        }
+
+    def test_filters_and_paging(self, client):
+        all_f = run(client.get("/api/v1/voices?gender=female")).json()
+        assert 0 < all_f["total"] < 239
+        assert all(v["gender"] == "female" for v in all_f["voices"])
+        assert all_f["filters"] == {"gender": "female"}
+        page2 = run(
+            client.get("/api/v1/voices?gender=female&limit=5&offset=5")
+        ).json()
+        assert len(page2["voices"]) == 5
+        first = run(client.get("/api/v1/voices?gender=female&limit=5")).json()
+        assert page2["voices"][0] != first["voices"][0]
+
+    def test_bad_paging_params_rejected(self, client):
+        assert run(client.get("/api/v1/voices?limit=x")).status_code == 422
+
+    def test_no_match_is_empty_not_error(self, client):
+        d = run(client.get("/api/v1/voices?gender=robot")).json()
+        assert d["total"] == 0 and d["voices"] == []
+
+
 class TestSyntheticPackPolicy:
     """The SERVER refuses synthetic (seeded-random) packs by default: a
     misconfigured deployment must fail to start, not serve noise with HTTP

@@ -260,7 +260,13 @@ class TestFullFixtureConversion:
 
         name_map = {p: f"transformer.g.{p}" for p in flat}
         pack = root / "pack"
-        report = convert_reference_tarball(tar_path, pack, config=cfg, name_map=name_map)
+        # This fixture graph is a node-less bag of initializers (it tests
+        # LEAF RESOLUTION only) — the round-5 topology gate rightly rejects
+        # it as structurally alien, so opt out explicitly here.
+        report = convert_reference_tarball(
+            tar_path, pack, config=cfg, name_map=name_map,
+            skip_topology_check=True,
+        )
         assert report["weights"]["unresolved"] == []
         assert report["weights"]["resolved"] == len(flat)
 

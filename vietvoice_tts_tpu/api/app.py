@@ -21,13 +21,15 @@ from uuid import uuid4
 import anyio
 
 from ..utils.logging import get_logger
-from .asgi import App, File, NotFoundException, Response, Stream
+from .asgi import App, File, HTTPException, NotFoundException, Response, Stream
 from .schemas import (
     HealthResponse,
     StatsResponse,
     SynthesizeFileResponse,
     StreamSynthesizeRequest,
     SynthesizeRequest,
+    VoiceEntry,
+    VoicesResponse,
 )
 from .settings import settings
 from .tts_engine import synthesize_async
@@ -168,6 +170,44 @@ async def stats() -> StatsResponse:
         batcher=batcher,
         cond_cache=cond_cache,
         hbm=device_memory_stats() or None,
+    )
+
+
+@app.get("/api/v1/voices")
+async def voices(query) -> VoicesResponse:
+    """Browse the bundled voice catalog over HTTP (beyond-reference: the
+    reference only documents the four enums; the real 238-row catalog is
+    bundled in-repo). Query filters: ``gender``, ``group``, ``area``,
+    ``emotion`` (case-insensitive exact match), ``limit``/``offset`` for
+    paging. ``clip_available`` says whether the audio clip exists locally
+    (clips arrive with the weight tarball)."""
+    from ..reference_samples import filter_samples, get_sample_path, load_reference_samples
+
+    filters = {
+        k: query[k] for k in ("gender", "group", "area", "emotion") if query.get(k)
+    }
+    try:
+        limit = max(0, min(int(query.get("limit", 50)), 500))
+        offset = max(0, int(query.get("offset", 0)))
+    except ValueError:
+        raise HTTPException(422, "limit/offset must be integers")
+    samples = filter_samples(load_reference_samples(), **filters)
+    page = samples[offset : offset + limit]
+    return VoicesResponse(
+        total=len(samples),
+        filters=filters,
+        voices=[
+            VoiceEntry(
+                filename=s.filename,
+                gender=s.gender,
+                group=s.group,
+                area=s.area,
+                emotion=s.emotion,
+                text=s.text,
+                clip_available=get_sample_path(s).exists(),
+            )
+            for s in page
+        ],
     )
 
 

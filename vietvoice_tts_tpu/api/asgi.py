@@ -150,6 +150,10 @@ class Route:
         ret = hints.get("return")
         if isinstance(ret, type) and issubclass(ret, pydantic.BaseModel):
             self.response_model = ret
+        # A handler that declares a ``query`` parameter receives the parsed
+        # query string as a {name: value} dict (last value wins; values are
+        # strings — handlers validate/cast, like Litestar's raw query API).
+        self.wants_query = "query" in inspect.signature(handler).parameters
 
 
 # Largest request body the server will buffer. The biggest legitimate
@@ -182,7 +186,8 @@ class App:
 
     # -- request handling ----------------------------------------------------
 
-    async def _dispatch(self, method: str, path: str, body: bytes) -> Response:
+    async def _dispatch(self, method: str, path: str, body: bytes,
+                        query_string: bytes = b"") -> Response:
         path_matched = False
         for route in self.routes:
             m = route.regex.match(path)
@@ -201,6 +206,13 @@ class App:
                 # means the URL doesn't name a resource — 404, never a 500.
                 continue
             path_matched = True
+            if route.wants_query:
+                from urllib.parse import parse_qsl
+
+                kwargs["query"] = dict(
+                    parse_qsl(query_string.decode("latin-1"),
+                              keep_blank_values=True)
+                )
             if route.body_model is not None:
                 try:
                     payload = json.loads(body or b"{}")
@@ -265,7 +277,10 @@ class App:
                 413,
             )
         else:
-            resp = await self._dispatch(scope["method"], scope["path"], body)
+            resp = await self._dispatch(
+                scope["method"], scope["path"], body,
+                query_string=scope.get("query_string", b""),
+            )
         headers = [(b"content-type", resp.media_type.encode())]
         headers += [(k.encode(), v.encode()) for k, v in resp.headers.items()]
         await send(

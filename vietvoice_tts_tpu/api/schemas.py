@@ -135,6 +135,30 @@ class StreamSynthesizeRequest(SynthesizeRequest):
     )
 
 
+class VoiceEntry(BaseModel):
+    """One catalog voice (beyond-reference: the reference only documents
+    the four enums; the bundled 238-row catalog is browsable over HTTP)."""
+
+    filename: str
+    gender: str
+    group: str
+    area: str
+    emotion: str
+    text: str = Field(..., description="Reference transcript of the clip.")
+    clip_available: bool = Field(
+        ..., description="Whether the audio clip exists in the local pack "
+        "(clips ship with the weight tarball; the CSV catalog is bundled)."
+    )
+
+
+class VoicesResponse(BaseModel):
+    """Catalog listing with the applied filters echoed back."""
+
+    total: int
+    filters: dict = Field(default_factory=dict)
+    voices: list[VoiceEntry] = Field(default_factory=list)
+
+
 class SynthesizeFileResponse(BaseModel):
     """Response for synthesis-to-file requests."""
 

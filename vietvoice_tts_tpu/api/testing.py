@@ -60,7 +60,13 @@ class AsyncTestClient:
             elif message["type"] == "http.response.body":
                 sent["body"] += message.get("body", b"")
 
-        scope = {"type": "http", "method": method, "path": path}
+        path, _, query = path.partition("?")
+        scope = {
+            "type": "http",
+            "method": method,
+            "path": path,
+            "query_string": query.encode("latin-1"),
+        }
         await self.app(scope, receive, send)
         return TestResponse(sent["status"], sent["body"], sent["headers"])
 
