@@ -152,7 +152,7 @@ def _fake_catalog(n):
 
 class TestBrowserPaging:
     """VERDICT r4 #4: the sample browser must page past 20 matches (the real
-    catalog has 238 rows; a loose filter matches far more than a screenful)."""
+    catalog has 239 rows; a loose filter matches far more than a screenful)."""
 
     def _browse(self, n_samples, inputs, capsys=None):
         import vietvoice_tts_tpu.reference_samples as rs
@@ -192,7 +192,7 @@ class TestBrowserPaging:
 
 
 class TestRealCatalogShipped:
-    """The bundled catalog is the reference's real 238-row CSV
+    """The bundled catalog is the reference's real 239-row CSV
     (/root/reference/models/reference_samples.csv), not the synthetic
     stand-in (VERDICT r4 missing #3)."""
 

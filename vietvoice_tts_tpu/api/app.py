@@ -176,7 +176,7 @@ async def stats() -> StatsResponse:
 @app.get("/api/v1/voices")
 async def voices(query) -> VoicesResponse:
     """Browse the bundled voice catalog over HTTP (beyond-reference: the
-    reference only documents the four enums; the real 238-row catalog is
+    reference only documents the four enums; the real 239-row catalog is
     bundled in-repo). Query filters: ``gender``, ``group``, ``area``,
     ``emotion`` (case-insensitive exact match), ``limit``/``offset`` for
     paging. ``clip_available`` says whether the audio clip exists locally

@@ -137,7 +137,7 @@ class StreamSynthesizeRequest(SynthesizeRequest):
 
 class VoiceEntry(BaseModel):
     """One catalog voice (beyond-reference: the reference only documents
-    the four enums; the bundled 238-row catalog is browsable over HTTP)."""
+    the four enums; the bundled 239-row catalog is browsable over HTTP)."""
 
     filename: str
     gender: str

@@ -362,7 +362,7 @@ def _browse_reference_samples(settings: Dict[str, Any]) -> Dict[str, Any]:
         print(f"{Colors.YELLOW}No samples match those filters.{Colors.RESET}")
         return settings
 
-    # Paged listing: the real catalog has 238 rows, so a single filter can
+    # Paged listing: the real catalog has 239 rows, so a single filter can
     # easily match more than one screenful (the reference lists everything at
     # once, reference_samples browser in cli.py; we page at 20).
     page_size = 20

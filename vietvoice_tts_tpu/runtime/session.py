@@ -215,7 +215,7 @@ class ModelSessionManager:
             json.dumps(catalog, ensure_ascii=False, indent=1)
         )
         # CSV mirror for the reference_samples catalog API. Prefer the bundled
-        # REAL 238-row catalog (models_data/reference_samples.csv — the
+        # REAL 239-row catalog (models_data/reference_samples.csv — the
         # reference ships the same file in-repo, /root/reference/models/
         # reference_samples.csv) so browser/filters match the reference even
         # before the real clips arrive with the weight tarball; fall back to a
