@@ -139,9 +139,11 @@ def guard(out_path: str, frames: int = 128, per_device_batch: int = 2) -> int:
             "output_bytes": getattr(ma, "output_size_in_bytes", None),
             "temp_bytes": getattr(ma, "temp_size_in_bytes", None),
         }
+        flops = ca.get("flops")
+        flops_s = f"{flops:.3e}" if flops is not None else "n/a"
+        arg_kib = (getattr(ma, "argument_size_in_bytes", 0) or 0) >> 10
         log(f"[guard] {name}: dp={dp} tp={tp} batch={b} "
-            f"flops/dev {ca.get('flops'):.3e} "
-            f"args {getattr(ma, 'argument_size_in_bytes', 0) >> 10} KiB")
+            f"flops/dev {flops_s} args {arg_kib} KiB")
         engine.cleanup()
 
     single = entries["single"]

@@ -152,43 +152,66 @@ def _fake_catalog(n):
 
 class TestBrowserPaging:
     """VERDICT r4 #4: the sample browser must page past 20 matches (the real
-    catalog has 239 rows; a loose filter matches far more than a screenful)."""
+    catalog has 239 rows; a loose filter matches far more than a screenful),
+    and rows whose clip is absent locally are marked and unselectable."""
 
-    def _browse(self, n_samples, inputs, capsys=None):
+    def _browse(self, n_samples, inputs, tmp_path, monkeypatch,
+                clips_present=True):
         import vietvoice_tts_tpu.reference_samples as rs
 
+        audios = tmp_path / "audios"
+        audios.mkdir(exist_ok=True)
+        catalog = _fake_catalog(n_samples)
+        if clips_present:
+            for s in catalog:
+                (audios / s.filename).write_bytes(b"RIFFfake")
+        monkeypatch.setenv("VIETVOICE_TPU_CACHE", str(tmp_path))
         it = iter(inputs)
         settings = {
             "gender": None, "group": None, "area": None, "emotion": None,
             "reference_audio": None, "reference_text": None,
         }
         with patch("builtins.input", lambda *a: next(it)), patch.object(
-            rs, "load_reference_samples", return_value=_fake_catalog(n_samples)
+            rs, "load_reference_samples", return_value=catalog
         ):
             return cli._browse_reference_samples(settings)
 
-    def test_select_from_second_page(self, capsys):
+    def test_select_from_second_page(self, capsys, tmp_path, monkeypatch):
         # no filters (0,0,0) → 45 matches → page to 2 ("n"), pick #3 =
         # global index 22, decline playback.
-        out = self._browse(45, ["0", "0", "0", "n", "3", "n"])
+        out = self._browse(45, ["0", "0", "0", "n", "3", "n"],
+                           tmp_path, monkeypatch)
         assert out["reference_audio"].endswith("clip_022.wav")
         assert out["reference_text"] == "câu số 22"
         shown = capsys.readouterr().out
         assert "page 2/3" in shown
 
-    def test_wraps_backward_from_first_page(self, capsys):
+    def test_wraps_backward_from_first_page(self, capsys, tmp_path, monkeypatch):
         # "p" from page 1 of 3 wraps to page 3 (5 rows: 40..44); pick #5.
-        out = self._browse(45, ["0", "0", "0", "p", "5", "n"])
+        out = self._browse(45, ["0", "0", "0", "p", "5", "n"],
+                           tmp_path, monkeypatch)
         assert out["reference_audio"].endswith("clip_044.wav")
 
-    def test_cancel_returns_unchanged(self):
-        out = self._browse(45, ["0", "0", "0", "0"])
+    def test_cancel_returns_unchanged(self, tmp_path, monkeypatch):
+        out = self._browse(45, ["0", "0", "0", "0"], tmp_path, monkeypatch)
         assert out["reference_audio"] is None
 
-    def test_single_page_has_no_nav_hint(self, capsys):
-        out = self._browse(5, ["0", "0", "0", "2", "n"])
+    def test_single_page_has_no_nav_hint(self, capsys, tmp_path, monkeypatch):
+        out = self._browse(5, ["0", "0", "0", "2", "n"], tmp_path, monkeypatch)
         assert out["reference_audio"].endswith("clip_001.wav")
         assert "next page" not in capsys.readouterr().out
+
+    def test_missing_clip_marked_and_unselectable(self, capsys, tmp_path,
+                                                  monkeypatch):
+        """A catalog row without a local clip (real catalog before the
+        weight tarball arrives) is marked and selecting it re-prompts
+        instead of applying a nonexistent path (round-5 review finding)."""
+        out = self._browse(5, ["0", "0", "0", "2", "0"], tmp_path,
+                           monkeypatch, clips_present=False)
+        assert out["reference_audio"] is None  # selection refused, then cancel
+        shown = capsys.readouterr().out
+        assert "clip not local" in shown
+        assert "not in the local pack" in shown
 
 
 class TestRealCatalogShipped:

@@ -214,18 +214,26 @@ class TestResume:
         assert dest.read_bytes() == PAYLOAD
         assert not meta.exists()
 
-    def test_content_range_start_mismatch_restarts(self, tmp_path):
+    def test_content_range_start_mismatch_restarts_fresh(self, tmp_path):
         """A 206 whose Content-Range start disagrees with the partial size
-        would corrupt the file if appended — the download must restart."""
+        must trigger a FRESH request — consuming the mismatched ranged body
+        from byte 0 would silently corrupt the file (it starts at the
+        server's offset, not 0)."""
         dest = tmp_path / "m.pt"
         partial = dest.with_suffix(".pt.partial")
         partial.write_bytes(PAYLOAD[:4096])
-        resp = FakeResponse(PAYLOAD, status=206)
-        resp.headers["Content-Range"] = f"bytes 0-{len(PAYLOAD) - 1}/{len(PAYLOAD)}"
+        # Server resumes from the WRONG offset (500) — this body must be
+        # discarded, not written as the whole file.
+        bad = FakeResponse(PAYLOAD[500:], status=206)
+        bad.headers["Content-Range"] = f"bytes 500-{len(PAYLOAD) - 1}/{len(PAYLOAD)}"
+        fresh = FakeResponse(PAYLOAD, status=200)
+        seen: list = []
         ensure_model_downloaded(
-            url="https://x/m.pt", dest=dest, opener=make_opener([resp], [])
+            url="https://x/m.pt", dest=dest, opener=make_opener([bad, fresh], seen)
         )
         assert dest.read_bytes() == PAYLOAD
+        assert len(seen) == 2  # the mismatched response forced a new request
+        assert seen[1].headers.get("Range") is None  # fresh, not ranged
 
 
 class TestResolveTarball:

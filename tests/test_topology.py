@@ -144,6 +144,20 @@ class TestBenignSpellingsVerify:
         assert s["ffn_ok"] == n  # erf-GELU recognized as the nonlinearity
         assert all(b["qkv_proj"] == "separate" for b in rep["blocks"])
 
+    def test_clamped_schedule_gather_passes(self, params):
+        """An export that CLIPS the schedule-gather index (final-step guard
+        spelling) repeats the last dt forever instead of erroring past the
+        table — the grid extraction must truncate the trailing stall and
+        still match the sway formula, not produce a false blocker."""
+        m = parse_model(
+            build_transformer(SPEC, params, variant="clamped_schedule")
+        )
+        rep = topology.verify_transformer(m, FACTS)
+        assert rep["ok"], rep["errors"]
+        tg = rep["time_grid"]
+        assert tg["match"] == "sway(coef=-1.0)"
+        assert tg["nfe"] == SPEC.nfe_step  # stall truncated to the real grid
+
 
 class TestPreprocessConstants:
     def test_clean_constants_all_verified(self, params):

@@ -181,7 +181,12 @@ async def voices(query) -> VoicesResponse:
     ``emotion`` (case-insensitive exact match), ``limit``/``offset`` for
     paging. ``clip_available`` says whether the audio clip exists locally
     (clips arrive with the weight tarball)."""
-    from ..reference_samples import filter_samples, get_sample_path, load_reference_samples
+    from ..reference_samples import (
+        catalog_audio_bases,
+        filter_samples,
+        get_sample_path,
+        load_reference_samples,
+    )
 
     filters = {
         k: query[k] for k in ("gender", "group", "area", "emotion") if query.get(k)
@@ -193,6 +198,7 @@ async def voices(query) -> VoicesResponse:
         raise HTTPException(422, "limit/offset must be integers")
     samples = filter_samples(load_reference_samples(), **filters)
     page = samples[offset : offset + limit]
+    bases = catalog_audio_bases()  # one cache glob per request, not per row
     return VoicesResponse(
         total=len(samples),
         filters=filters,
@@ -204,7 +210,7 @@ async def voices(query) -> VoicesResponse:
                 area=s.area,
                 emotion=s.emotion,
                 text=s.text,
-                clip_available=get_sample_path(s).exists(),
+                clip_available=get_sample_path(s, bases).exists(),
             )
             for s in page
         ],

@@ -341,14 +341,21 @@ def _edit_voice(settings: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _browse_reference_samples(settings: Dict[str, Any]) -> Dict[str, Any]:
-    """Filterable catalog browser with optional playback."""
+    """Filterable catalog browser with optional playback.
+
+    The bundled catalog lists the reference's full 239 voices even before
+    the real clips arrive with the weight tarball, so rows whose clip is
+    not present locally are MARKED and cannot be selected — applying a
+    nonexistent path would only fail later inside synthesis."""
     from .reference_samples import (
+        catalog_audio_bases,
         filter_samples,
         get_sample_path,
         load_reference_samples,
         play_sample,
     )
 
+    bases = catalog_audio_bases()  # resolved once; per-row glob is wasteful
     samples = load_reference_samples()
     if not samples:
         print(f"{Colors.RED}No reference sample catalog found.{Colors.RESET}")
@@ -376,9 +383,14 @@ def _browse_reference_samples(settings: Dict[str, Any]) -> Dict[str, Any]:
             f"\n  {len(matches)} matching sample(s) — page {page_no + 1}/{n_pages}"
         )
         for i, s in enumerate(page, 1):
+            missing = (
+                ""
+                if get_sample_path(s, bases).exists()
+                else f" {Colors.YELLOW}[clip not local]{Colors.RESET}"
+            )
             print(
                 f"  {i:2d}. {s.filename} [{s.gender}/{s.group}/{s.area}/{s.emotion}] "
-                f"{s.text[:40]}"
+                f"{s.text[:40]}{missing}"
             )
         nav = "; n = next page, p = previous page" if n_pages > 1 else ""
         raw = _ask(f"Select sample (1-{len(page)}, 0 to cancel{nav})", "0")
@@ -396,10 +408,18 @@ def _browse_reference_samples(settings: Dict[str, Any]) -> Dict[str, Any]:
         if not idx:
             return settings
         if 1 <= idx <= len(page):
-            sample = page[idx - 1]
+            candidate = page[idx - 1]
+            if not get_sample_path(candidate, bases).exists():
+                print(
+                    f"{Colors.YELLOW}That voice's clip is not in the local "
+                    "pack (clips arrive with the real weight tarball) — "
+                    f"pick a row without the marker.{Colors.RESET}"
+                )
+                continue
+            sample = candidate
     if (_ask("Play sample? (y/n)", "n") or "n").lower().startswith("y"):
         play_sample(sample)
-    settings["reference_audio"] = str(get_sample_path(sample))
+    settings["reference_audio"] = str(get_sample_path(sample, bases))
     settings["reference_text"] = sample.text
     # Explicit filters conflict with reference audio; clear them.
     settings["gender"] = settings["group"] = settings["area"] = settings["emotion"] = None

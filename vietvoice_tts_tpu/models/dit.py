@@ -230,6 +230,15 @@ def _time_embedding(p: dict, t: jnp.ndarray) -> jnp.ndarray:
     return h @ p["mlp2"]["w"] + p["mlp2"]["b"]  # [B, dim] f32
 
 
+def scanned_blocks(params: Params) -> Dict[str, Any]:
+    """The stacked-depth block leaves the forward SCANS over — everything
+    under ``params['blocks']`` except ``ada`` (consumed hoisted, outside
+    the scan). The deep-cache sampler pre-slices this same tree; a single
+    definition keeps the two views in lockstep if another non-scanned key
+    ever lands next to ``ada``."""
+    return {k: v for k, v in params["blocks"].items() if k != "ada"}
+
+
 def dit_time_modulations(params: Params, cfg: DiTConfig, t: jnp.ndarray):
     """AdaLN modulations for a batch of flow times t [S] → ([S, depth, 6d],
     [S, 2d]).
@@ -355,7 +364,7 @@ def dit_forward_embedded(
 
     # ada is consumed above (hoisted out of the scan); dropping it from the
     # scanned pytree keeps the loop body free of dead weight slices.
-    blocks_scan = {k: v for k, v in params["blocks"].items() if k != "ada"}
+    blocks_scan = scanned_blocks(params)
 
     # NOTE a fused Pallas AdaLN-norm kernel was tried and REJECTED here
     # (round 4): parity-correct, but 2 kernels x 22 blocks x 31 steps =

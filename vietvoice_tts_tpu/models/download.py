@@ -130,6 +130,10 @@ def ensure_model_downloaded(
             elif offset:
                 # Cross-check the 206 Content-Range start against our offset:
                 # a mismatched continuation would corrupt the file silently.
+                # The mismatched RANGED body must not be consumed either —
+                # it starts at the server's offset, not byte 0 — so restart
+                # with a FRESH request (like the 416 branch), never by
+                # falling through to write this response from scratch.
                 rng = resp_headers.get("Content-Range", "")
                 m = re.match(r"bytes (\d+)-", rng)
                 if m and int(m.group(1)) != offset:
@@ -138,9 +142,12 @@ def ensure_model_downloaded(
                         m.group(1),
                         offset,
                     )
-                    offset = 0
                     partial.unlink(missing_ok=True)
                     meta_path.unlink(missing_ok=True)
+                    return ensure_model_downloaded(
+                        url=url, dest=dest, resume=resume,
+                        progress=progress, opener=opener,
+                    )
             if not offset:
                 # Record the validator for a future resume of this .partial.
                 validators = {

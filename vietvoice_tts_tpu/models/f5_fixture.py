@@ -570,8 +570,20 @@ def build_transformer(spec: FixtureSpec, params: dict,
     if s:
         t = t + s * (np.cos(np.pi / 2.0 * t) - 1.0 + t)
     starts, dts = t[:-1], np.diff(t)
-    t_cur = gb.n("Gather", [gb.init("sway.t", starts), "time_step"], axis=0, hint="t_cur")
-    dt = gb.n("Gather", [gb.init("sway.dt", dts), "time_step"], axis=0, hint="dt")
+    # variant="clamped_schedule" (benign): the gather index is clipped into
+    # range instead of erroring past the table — some exports spell the
+    # final-step guard this way; the topology verifier's grid extraction
+    # must truncate the resulting trailing stall, not flag a mismatch.
+    step_idx = "time_step"
+    if variant == "clamped_schedule":
+        step_idx = gb.n(
+            "Clip",
+            ["time_step", gb.c(np.array(0, np.int32), "idx_lo"),
+             gb.c(np.array(len(starts) - 1, np.int32), "idx_hi")],
+            hint="step_clamped",
+        )
+    t_cur = gb.n("Gather", [gb.init("sway.t", starts), step_idx], axis=0, hint="t_cur")
+    dt = gb.n("Gather", [gb.init("sway.dt", dts), step_idx], axis=0, hint="dt")
 
     # Time embedding (models/dit.py:_time_embedding + the sampler's SiLU).
     half = spec.time_freq_dim // 2

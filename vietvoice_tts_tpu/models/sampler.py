@@ -177,9 +177,9 @@ def flow_matching_sample(
         # Pre-slice the stacked block weights OUTSIDE the segment scan —
         # sliced inside the scanned body, XLA re-materializes the weight
         # copies every iteration (measured: slower than exact at j=11).
-        blocks_scan = {
-            k: v for k, v in params["blocks"].items() if k != "ada"
-        }
+        from .dit import scanned_blocks
+
+        blocks_scan = scanned_blocks(params)
         presplit = (
             jax.tree.map(lambda a: a[:j], blocks_scan),
             jax.tree.map(lambda a: a[j:], blocks_scan),

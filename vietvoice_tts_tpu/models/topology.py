@@ -468,17 +468,17 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
         "ffn_ok": sum(1 for b in blocks if isinstance(b.get("ffn"), dict)
                       and b["ffn"].get("ok")),
     }
-    for key, label in (
-        ("pre_norm_ok", "pre-norm"),
-        ("adaln_ok", "AdaLN scale/shift"),
-        ("rope_ok", "RoPE application"),
-        ("attn_core_ok", "attention core"),
-        ("gated_residual_ok", "time-gated residual"),
-        ("ffn_ok", "FFN sub-block"),
+    for key, field, label in (
+        ("pre_norm_ok", "pre_norm", "pre-norm"),
+        ("adaln_ok", "adaln_scale_shift", "AdaLN scale/shift"),
+        ("rope_ok", "rope", "RoPE application"),
+        ("attn_core_ok", "attn_core", "attention core"),
+        ("gated_residual_ok", "gated_residual", "time-gated residual"),
+        ("ffn_ok", "ffn", "FFN sub-block"),
     ):
         if n_blocks and summary[key] != n_blocks:
             bad = [i for i, b in enumerate(blocks)
-                   if (b.get(key.rsplit("_ok", 1)[0]) != "ok"
+                   if (b.get(field) != "ok"
                        if key != "ffn_ok"
                        else not (isinstance(b.get("ffn"), dict)
                                  and b["ffn"].get("ok")))]
@@ -730,7 +730,19 @@ def extract_time_grid(model: OnnxModel, dt_tensor: Optional[str],
             break  # stepped past the schedule table
     if not dts:
         return {"match": "unextractable", "reason": "no dt values recovered"}
-    # Drop a trailing stall (some exports clamp the last index).
+    # Drop a trailing stall: an export that CLAMPS the schedule-gather index
+    # (instead of erroring past the table) keeps returning the last dt for
+    # every step ≥ nfe−1, so the loop runs to max_steps. The real grid sums
+    # to 1.0 — truncate at the first prefix reaching it so a clamping
+    # export is not a false-positive blocker.
+    csum = np.cumsum(np.asarray(dts, np.float64))
+    hit = np.nonzero(np.isclose(csum, 1.0, atol=2e-4))[0]
+    if hit.size and hit[0] + 1 < len(dts):
+        dts = dts[: hit[0] + 1]
+    elif len(dts) == max_steps and not hit.size:
+        return {"match": "unextractable",
+                "reason": f"schedule longer than max_steps={max_steps} and "
+                          "never reaches t=1"}
     grid = np.concatenate([[0.0], np.cumsum(np.asarray(dts, np.float64))])
     nfe = len(dts) + 1
     t_lin = np.linspace(0.0, 1.0, nfe)

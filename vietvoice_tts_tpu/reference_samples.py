@@ -30,6 +30,7 @@ __all__ = [
     "ReferenceSample",
     "load_reference_samples",
     "filter_samples",
+    "catalog_audio_bases",
     "get_sample_path",
     "play_sample",
     "MODEL_GENDER",
@@ -136,18 +137,31 @@ def filter_samples(
     return [s for s in samples if s.matches(**wanted)]
 
 
-def get_sample_path(sample: ReferenceSample) -> Path:
-    """Resolve a sample's audio file on disk: the weight packs' ``audios/``
-    dirs under the cache, then the cache root; organized (relative) path
-    first, flat filename fallback."""
+def catalog_audio_bases() -> List[Path]:
+    """Directories a catalog clip may live in: the weight packs' ``audios/``
+    dirs under the cache, then the cache root. Resolve ONCE per batch of
+    lookups — this globs the cache directory."""
     cache = Path(os.environ.get("VIETVOICE_TPU_CACHE", "models")).expanduser()
     bases = [cache / "audios", cache]
     if cache.is_dir():
         bases[1:1] = sorted(p for p in cache.glob("*/audios") if p.is_dir())
+    return bases
+
+
+def get_sample_path(
+    sample: ReferenceSample, bases: Optional[List[Path]] = None
+) -> Path:
+    """Resolve a sample's audio file on disk: organized (relative) path
+    first, flat filename fallback, across ``bases`` (or a fresh
+    :func:`catalog_audio_bases` when not supplied — pass it explicitly when
+    resolving many samples to avoid re-globbing the cache per call)."""
+    if bases is None:
+        bases = catalog_audio_bases()
     for base in bases:
         for candidate in (base / sample.filename, base / Path(sample.filename).name):
             if candidate.exists():
                 return candidate
+    cache = Path(os.environ.get("VIETVOICE_TPU_CACHE", "models")).expanduser()
     return cache / "audios" / sample.filename
 
 

@@ -153,7 +153,26 @@ class MicroBatcher:
         if not self._running:
             raise RuntimeError("MicroBatcher is shut down")
         self._queue.put(job)
+        if not self._running:
+            # Raced a concurrent shutdown past its queue drain: the job just
+            # landed in a queue nobody will ever read — fail it (and any
+            # co-stragglers) rather than hang the caller on future.result().
+            self._fail_queued()
+            raise RuntimeError("MicroBatcher is shut down")
         return job.future
+
+    def _fail_queued(self) -> None:
+        """Fail every job still in the queue or pending deque (shutdown)."""
+        leftovers: list[Optional[ChunkJob]] = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                leftovers.append(self._queue.get_nowait())
+            except queue.Empty:
+                break
+        for job in leftovers:
+            if job is not None and not job.future.done():
+                job.future.set_exception(RuntimeError("MicroBatcher is shut down"))
 
     @property
     def stats(self) -> BatcherStats:
@@ -220,16 +239,7 @@ class MicroBatcher:
             pass
         self._fetcher.join(timeout=timeout)
         # Fail (don't hang) futures still queued OR pending at shutdown.
-        leftovers: list[Optional[ChunkJob]] = list(self._pending)
-        self._pending.clear()
-        while True:
-            try:
-                leftovers.append(self._queue.get_nowait())
-            except queue.Empty:
-                break
-        for job in leftovers:
-            if job is not None and not job.future.done():
-                job.future.set_exception(RuntimeError("MicroBatcher is shut down"))
+        self._fail_queued()
 
     # -- Dispatcher ----------------------------------------------------------
 
