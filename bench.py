@@ -90,11 +90,15 @@ def measure_link_rtt(reps: int = 15) -> dict:
         t0 = time.perf_counter()
         jax.device_get(inc(x, i + 1))
         times.append(time.perf_counter() - t0)
-    times.sort()
-    return {
-        "rtt_p50_ms": round(statistics.median(times) * 1e3, 2),
-        "rtt_p90_ms": round(times[max(0, int(len(times) * 0.9) - 1)] * 1e3, 2),
-    }
+    p50_ms, p90_ms = _p50_p90_ms(times)
+    return {"rtt_p50_ms": p50_ms, "rtt_p90_ms": p90_ms}
+
+
+def _p50_p90_ms(latencies: list) -> tuple:
+    lat = sorted(latencies)
+    p50 = statistics.median(lat)
+    p90 = lat[max(0, int(len(lat) * 0.9) - 1)]
+    return round(p50 * 1e3, 1), round(p90 * 1e3, 1)
 
 
 def _timed(fn, reps: int, warm: int = 1):
@@ -298,17 +302,15 @@ def _rest_sweep_point(api, client, n_requests: int, concurrency: int,
     engine.batcher = None
     sr = api.config.sample_rate
     audio_s = (audio_bytes_total - 44 * (n_requests + 1)) / (sr * 2)
-    lat_sorted = sorted(latencies)
-    p50 = statistics.median(lat_sorted)
-    p90 = lat_sorted[max(0, int(len(lat_sorted) * 0.9) - 1)]
+    p50_ms, p90_ms = _p50_p90_ms(latencies)
     point = {
         "requests": n_requests,
         "concurrency": concurrency,
         "max_wait_ms": max_wait_ms,
         "max_batch": max_batch or api.config.max_batch_size,
         "requests_per_s": round(n_requests / wall, 2),
-        "p50_latency_ms": round(p50 * 1e3, 1),
-        "p90_latency_ms": round(p90 * 1e3, 1),
+        "p50_latency_ms": p50_ms,
+        "p90_latency_ms": p90_ms,
         "rtf": round(audio_s / wall, 2),
         "mean_batch_size": round(stats.mean_batch_size, 2),
     }
@@ -356,15 +358,15 @@ def _rest_open_loop_point(api, client, n_requests: int, rate_rps: float,
     wall = anyio.run(drive)
     engine.batcher.shutdown()
     engine.batcher = None
-    lat = sorted(latencies)
+    p50_ms, p90_ms = _p50_p90_ms(latencies)
     point = {
         "mode": "open_loop",
         "offered_rps": rate_rps,
         "achieved_rps": round(n_requests / wall, 2),
         "requests": n_requests,
-        "p50_latency_ms": round(statistics.median(lat) * 1e3, 1),
-        "p90_latency_ms": round(lat[max(0, int(len(lat) * 0.9) - 1)] * 1e3, 1),
-        "max_latency_ms": round(lat[-1] * 1e3, 1),
+        "p50_latency_ms": p50_ms,
+        "p90_latency_ms": p90_ms,
+        "max_latency_ms": round(max(latencies) * 1e3, 1),
     }
     log(f"[5 rest_serving open-loop] {rate_rps} req/s offered: "
         f"p50 {point['p50_latency_ms']:.0f} ms, p90 {point['p90_latency_ms']:.0f} ms, "

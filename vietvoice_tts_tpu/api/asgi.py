@@ -16,6 +16,7 @@ import json
 import re
 from pathlib import Path
 from typing import Any, Awaitable, Callable, Dict, Iterable, Optional
+from urllib.parse import parse_qsl
 
 import pydantic
 
@@ -207,8 +208,6 @@ class App:
                 continue
             path_matched = True
             if route.wants_query:
-                from urllib.parse import parse_qsl
-
                 kwargs["query"] = dict(
                     parse_qsl(query_string.decode("latin-1"),
                               keep_blank_values=True)

@@ -424,10 +424,6 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
                         ):
                             mul_ok = True
                     gated = "ok" if mul_ok else "residual add without time gate"
-                    other = [i for i in add_node.inputs
-                             if G.strip(i) != G.strip(t)
-                             and G.producer.get(G.strip(i), None) is not None
-                             or i in input_names]
                     if residual_stream is not None:
                         res_ok = (
                             "ok"
@@ -435,7 +431,6 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
                                    for i in add_node.inputs)
                             else "residual operand is not the norm input"
                         )
-                    del other
         verdict["gated_residual"] = gated
         verdict["residual_identity"] = res_ok
 
@@ -689,7 +684,6 @@ def extract_time_grid(model: OnnxModel, dt_tensor: Optional[str],
     if dt_tensor is None:
         return {"match": "unextractable", "reason": "no dt tensor identified"}
     g = model.graph
-    G = GraphIndex(g)
     time_in = [v for v in g.inputs if "time" in v.name.lower()]
     if not time_in:
         return {"match": "unextractable", "reason": "no time_step input"}
@@ -885,7 +879,7 @@ def verify_preprocess(model: OnnxModel, facts: Optional[dict] = None,
                 "basis mismatch; update the frontend"
             )
         break
-    if not dft_checked and "stft_dft_kernel" not in checks:
+    if not dft_checked:
         warnings.append(
             "no windowed-DFT Conv kernel found — STFT form not verifiable "
             "symbolically (golden gate covers it)"
