@@ -144,6 +144,19 @@ class TestBenignSpellingsVerify:
         assert s["ffn_ok"] == n  # erf-GELU recognized as the nonlinearity
         assert all(b["qkv_proj"] == "separate" for b in rep["blocks"])
 
+    def test_matmul_add_projection_spelling_passes(self, params):
+        """MatMul + bias Add instead of Gemm (dynamo/older-opset form): the
+        bias Add must be crossed on the way to the residual, never mistaken
+        FOR the residual (which made the gated-residual check false-positive
+        before _walk_to_residual_add)."""
+        m = parse_model(build_transformer(SPEC, params, variant="matmul_add"))
+        rep = topology.verify_transformer(m, FACTS)
+        assert rep["ok"], rep["errors"]
+        s = rep["summary"]
+        n = 2 * SPEC.depth
+        assert s["gated_residual_ok"] == n
+        assert s["ffn_ok"] == n
+
     def test_clamped_schedule_gather_passes(self, params):
         """An export that CLIPS the schedule-gather index (final-step guard
         spelling) repeats the last dt forever instead of erroring past the

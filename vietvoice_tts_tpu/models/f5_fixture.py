@@ -454,8 +454,20 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
       be flagged): decomposed LayerNorm (ReduceMean/Sub/Pow/Sqrt/Div),
       separate q/k/v Gemms instead of the packed projection, and
       erf-GELU instead of the Gelu op — the shapes real torch exports
-      emit on older opsets.
+      emit on older opsets;
+    - ``"matmul_add"`` — BENIGN: every block projection spelled as
+      ``MatMul`` + bias ``Add`` instead of ``Gemm`` (the dynamo/older-
+      opset export form); the verifier must cross the bias Add, never
+      mistake it for the residual add.
     """
+    if variant == "matmul_add":
+        def lin(x: str, prefix: str, w_oi: np.ndarray, b: np.ndarray) -> str:
+            w = gb.init(f"{prefix}.weight", np.ascontiguousarray(w_oi.T))
+            bb = gb.init(f"{prefix}.bias", b)
+            return gb.n("Add", [gb.n("MatMul", [x, w]), bb])
+    else:
+        def lin(x: str, prefix: str, w_oi: np.ndarray, b: np.ndarray) -> str:
+            return _linear(gb, x, prefix, w_oi, b)
     d = spec.dim
     ones_d = gb.c(np.ones((d,), np.float32), "ln_ones_d")
     h_in = gb.n("Concat", [x2d, cat], axis=1, hint="h_in")
@@ -502,11 +514,11 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
             u = norm(gb, h, norm1_w)
             u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_a, one_f])]), sh_a])
         if variant == "torch_decomposed":
-            q = _linear(gb, u, f"{pre}.attn.q", blk["qkv_w"][:d], blk["qkv_b"][:d])
-            k = _linear(gb, u, f"{pre}.attn.k", blk["qkv_w"][d:2 * d], blk["qkv_b"][d:2 * d])
-            v = _linear(gb, u, f"{pre}.attn.v", blk["qkv_w"][2 * d:], blk["qkv_b"][2 * d:])
+            q = lin(u, f"{pre}.attn.q", blk["qkv_w"][:d], blk["qkv_b"][:d])
+            k = lin(u, f"{pre}.attn.k", blk["qkv_w"][d:2 * d], blk["qkv_b"][d:2 * d])
+            v = lin(u, f"{pre}.attn.v", blk["qkv_w"][2 * d:], blk["qkv_b"][2 * d:])
         else:
-            qkv = _linear(gb, u, f"{pre}.attn.qkv", blk["qkv_w"], blk["qkv_b"])
+            qkv = lin(u, f"{pre}.attn.qkv", blk["qkv_w"], blk["qkv_b"])
             q, k, v = gb.n("Split", [qkv], n_out=3, axis=1, hint="qkv_split")
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         q, k = rope(q), rope(k)
@@ -518,7 +530,7 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
         attnw = gb.n("Softmax", [logits], axis=-1)
         av = gb.n("MatMul", [attnw, v])  # [H, N, hd]
         av = gb.n("Reshape", [gb.n("Transpose", [av], perm=[1, 0, 2]), merge_shape])
-        attn = _linear(gb, av, f"{pre}.attn.out", blk["out_w"], blk["out_b"])
+        attn = lin(av, f"{pre}.attn.out", blk["out_w"], blk["out_b"])
         if variant == "no_gate":
             h = gb.n("Add", [h, attn])
         else:
@@ -536,8 +548,8 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
             u = norm(gb, h, norm2_w)
             u = gb.n("Add", [gb.n("Mul", [u, gb.n("Add", [sc_f, one_f])]), sh_f])
         act = _gelu_erf if variant == "torch_decomposed" else _gelu
-        f = act(gb, _linear(gb, u, f"{pre}.ff.0", blk["ff1_w"], blk["ff1_b"]))
-        f = _linear(gb, f, f"{pre}.ff.2", blk["ff2_w"], blk["ff2_b"])
+        f = act(gb, lin(u, f"{pre}.ff.0", blk["ff1_w"], blk["ff1_b"]))
+        f = lin(f, f"{pre}.ff.2", blk["ff2_w"], blk["ff2_b"])
         if variant == "no_gate":
             h = gb.n("Add", [h, f])
         else:

@@ -292,6 +292,45 @@ def _walk_forward_to(G: GraphIndex, tensor: str, target_ops: Set[str],
     return None, crossed
 
 
+def _walk_to_residual_add(G: GraphIndex, tensor: str, through: Set[str],
+                          max_depth: int = 16
+                          ) -> Tuple[Optional[OnnxNode], List[OnnxNode]]:
+    """Follow consumers from ``tensor`` to the RESIDUAL Add — an Add whose
+    operands are both data tensors. A bias Add (one constant-initializer
+    operand, the MatMul+Add spelling of a Gemm) is crossed like any other
+    elementwise op, never mistaken for the residual. Returns the Add node
+    and every node crossed on the way (for gate detection)."""
+    crossed: List[OnnxNode] = []
+    t = tensor
+    for _ in range(max_depth):
+        cands = G.consumers.get(t, [])
+        for c in cands:
+            if c.op_type == "Add" and sum(
+                1 for i in c.inputs if i and not G.const_like(i)
+            ) >= 2:
+                return c, crossed
+        nxt = [c for c in cands if c.op_type in through | {"Add"}]
+        if not nxt:
+            return None, crossed
+        node = nxt[0]
+        crossed.append(node)
+        outs = [o for o in node.outputs if o]
+        if not outs:
+            return None, crossed
+        t = outs[0]
+    return None, crossed
+
+
+def _time_gated(G: GraphIndex, crossed: List[OnnxNode],
+                time_inputs: Set[str]) -> bool:
+    """Was a Mul by a time-derived gate crossed on the way to the residual?"""
+    return any(
+        n.op_type == "Mul"
+        and any(G.depends_only_on(i, time_inputs) for i in n.inputs)
+        for n in crossed
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transformer verification
 # ---------------------------------------------------------------------------
@@ -410,20 +449,13 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
                 verdict["out_proj"] = "missing"
             else:
                 verdict["out_proj"] = "ok"
-                add_node, crossed = _walk_forward_to(
-                    G, out_proj.outputs[0], {"Add"}, _PASS | {"Mul"})
+                add_node, crossed = _walk_to_residual_add(
+                    G, out_proj.outputs[0], _PASS | {"Mul"})
                 if add_node is not None:
-                    mul_ok = False
-                    # the Mul on the way (or fused into Add operand) must be
-                    # time-gated
-                    t = G.strip(out_proj.outputs[0])
-                    for c in G.consumers.get(t, []):
-                        if c.op_type == "Mul" and any(
-                            G.depends_only_on(i, time_inputs)
-                            for i in c.inputs
-                        ):
-                            mul_ok = True
-                    gated = "ok" if mul_ok else "residual add without time gate"
+                    gated = (
+                        "ok" if _time_gated(G, crossed, time_inputs)
+                        else "residual add without time gate"
+                    )
                     if residual_stream is not None:
                         res_ok = (
                             "ok"
@@ -437,9 +469,8 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
         # -- FFN from the attention residual --
         verdict["ffn"] = "not-found"
         if av is not None and gated == "ok":
-            add_node, _ = _walk_forward_to(
-                G, G.strip(av.outputs[0]), {"Add"}, _PASS | {"Mul", "Gemm",
-                                                             "MatMul"})
+            add_node, _ = _walk_to_residual_add(
+                G, G.strip(av.outputs[0]), _PASS | {"Mul", "Gemm", "MatMul"})
             if add_node is not None:
                 r = add_node.outputs[0]
                 ffn = _verify_ffn(G, r, time_inputs)
@@ -567,15 +598,10 @@ def _verify_ffn(G: GraphIndex, r: str, time_inputs: Set[str]) -> dict:
         out["detail"] = "no down-projection after the activation"
         return out
     act_ok = bool(set(crossed2) & _NONLINEAR)
-    gate_ok = False
-    add_node, _ = _walk_forward_to(G, ff2.outputs[0], {"Add"}, _PASS | {"Mul"})
+    add_node, crossed3 = _walk_to_residual_add(
+        G, ff2.outputs[0], _PASS | {"Mul"})
+    gate_ok = add_node is not None and _time_gated(G, crossed3, time_inputs)
     if add_node is not None:
-        t2 = G.strip(ff2.outputs[0])
-        for c in G.consumers.get(t2, []):
-            if c.op_type == "Mul" and any(
-                G.depends_only_on(i, time_inputs) for i in c.inputs
-            ):
-                gate_ok = True
         if not any(G.strip(i) == G.strip(r) for i in add_node.inputs):
             out["detail"] = "FFN residual does not add back onto the stream"
     out.update(
