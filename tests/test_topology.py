@@ -157,6 +157,14 @@ class TestBenignSpellingsVerify:
         assert s["gated_residual_ok"] == n
         assert s["ffn_ok"] == n
 
+    def test_scale_on_q_spelling_passes(self, params):
+        """The 1/√d_k scale multiplied into Q before the QK MatMul (one
+        SDPA decomposition) must not break the RoPE detection."""
+        m = parse_model(build_transformer(SPEC, params, variant="scale_on_q"))
+        rep = topology.verify_transformer(m, FACTS)
+        assert rep["ok"], rep["errors"]
+        assert rep["summary"]["rope_ok"] == 2 * SPEC.depth
+
     def test_clamped_schedule_gather_passes(self, params):
         """An export that CLIPS the schedule-gather index (final-step guard
         spelling) repeats the last dt forever instead of erroring past the

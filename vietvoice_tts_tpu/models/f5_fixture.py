@@ -458,7 +458,10 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
     - ``"matmul_add"`` — BENIGN: every block projection spelled as
       ``MatMul`` + bias ``Add`` instead of ``Gemm`` (the dynamo/older-
       opset export form); the verifier must cross the bias Add, never
-      mistake it for the residual add.
+      mistake it for the residual add;
+    - ``"scale_on_q"`` — BENIGN: the 1/√d_k attention scale multiplied
+      into Q before the QK MatMul (one SDPA decomposition) instead of
+      applied to the logits.
     """
     if variant == "matmul_add":
         def lin(x: str, prefix: str, w_oi: np.ndarray, b: np.ndarray) -> str:
@@ -522,11 +525,18 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
             q, k, v = gb.n("Split", [qkv], n_out=3, axis=1, hint="qkv_split")
         q, k, v = heads_split(q), heads_split(k), heads_split(v)
         q, k = rope(q), rope(k)
-        logits = gb.n(
-            "Mul",
-            [gb.n("MatMul", [q, gb.n("Transpose", [k], perm=[0, 2, 1])]), scale],
-            hint="logits",
-        )
+        if variant == "scale_on_q":
+            q = gb.n("Mul", [q, scale], hint="q_scaled")
+            logits = gb.n(
+                "MatMul", [q, gb.n("Transpose", [k], perm=[0, 2, 1])],
+                hint="logits",
+            )
+        else:
+            logits = gb.n(
+                "Mul",
+                [gb.n("MatMul", [q, gb.n("Transpose", [k], perm=[0, 2, 1])]), scale],
+                hint="logits",
+            )
         attnw = gb.n("Softmax", [logits], axis=-1)
         av = gb.n("MatMul", [attnw, v])  # [H, N, hd]
         av = gb.n("Reshape", [gb.n("Transpose", [av], perm=[1, 0, 2]), merge_shape])

@@ -198,11 +198,28 @@ def _peel_modulation(G: GraphIndex, tensor: str, time_inputs: Set[str]
     return t, scaled, shifted
 
 
+def _strip_scalar_scale(G: GraphIndex, tensor: str) -> str:
+    """Walk back through Mul/Div by a constant (e.g. the 1/√d_k scale some
+    SDPA decompositions apply to Q before the MatMul instead of to the
+    logits)."""
+    t = G.strip(tensor)
+    while True:
+        node = G.producer.get(t)
+        if node is None or node.op_type not in ("Mul", "Div"):
+            return t
+        data = [i for i in node.inputs if i and not G.const_like(i)]
+        if len(data) != 1:
+            return t
+        t = G.strip(data[0])
+
+
 def _peel_rope(G: GraphIndex, tensor: str, rope_inputs: Set[str]) -> dict:
     """Detect ``Add(Mul(x, cos), Mul(rotate_half(x), sin))`` where cos/sin
-    trace only to the RoPE table inputs. Returns {applied, rotate_half, x}."""
+    trace only to the RoPE table inputs. Returns {applied, rotate_half, x}.
+    A constant scalar scale applied on top (scale-on-Q SDPA spelling) is
+    stripped first."""
     out = {"applied": False, "rotate_half": False, "x": None}
-    t = G.strip(tensor)
+    t = _strip_scalar_scale(G, tensor)
     node = G.producer.get(t)
     if node is None or node.op_type != "Add":
         return out
