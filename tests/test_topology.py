@@ -108,6 +108,14 @@ class TestHostileVariantsDetected:
         assert not rep["ok"]
         assert any("CFG" in e or "uncond" in e for e in rep["errors"])
 
+    def test_swapped_rope_tables(self, params):
+        """cos/sin exchanged in the RoPE application is the same symbolic
+        shape but the wrong rotation direction — caught via the
+        name-identified table assignment (plain→cos, rotated→sin)."""
+        rep = self._verify(params, "rope_swapped")
+        assert not rep["ok"]
+        assert any("SWAPPED" in e for e in rep["errors"])
+
     def test_different_sway_coefficient(self):
         spec = dataclasses.replace(SPEC, sway_sampling_coef=0.8)
         m = parse_model(build_transformer(spec, make_params(spec, seed=5)))

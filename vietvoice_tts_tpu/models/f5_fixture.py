@@ -450,6 +450,8 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
     - ``"mod_before_norm"`` — AdaLN scale/shift applied BEFORE the norm
       (the norm then erases the modulation — wrong op order);
     - ``"no_gate"`` — plain residual adds without the AdaLN-Zero gates;
+    - ``"rope_swapped"`` — HOSTILE: the cos/sin RoPE tables exchanged in
+      the application (same symbolic shape, wrong rotation direction);
     - ``"torch_decomposed"`` — a BENIGN spelling variant (must VERIFY, not
       be flagged): decomposed LayerNorm (ReduceMean/Sub/Pow/Sqrt/Div),
       separate q/k/v Gemms instead of the packed projection, and
@@ -493,6 +495,11 @@ def _dit_branch(gb: _GB, spec: FixtureSpec, exp: dict, x2d: str, cat: str,
     def rope(x: str) -> str:
         x1, x2 = gb.n("Split", [x], n_out=2, axis=2, hint="rope_split")
         rot = gb.n("Concat", [gb.n("Neg", [x2]), x1], axis=2)
+        if variant == "rope_swapped":  # HOSTILE: cos/sin tables exchanged
+            return gb.n(
+                "Add",
+                [gb.n("Mul", [x, "rope_sin_2d"]), gb.n("Mul", [rot, "rope_cos_2d"])],
+            )
         return gb.n(
             "Add",
             [gb.n("Mul", [x, "rope_cos_2d"]), gb.n("Mul", [rot, "rope_sin_2d"])],

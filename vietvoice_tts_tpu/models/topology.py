@@ -235,13 +235,14 @@ def _peel_rope(G: GraphIndex, tensor: str, rope_inputs: Set[str]) -> dict:
         table = [i for i in m.inputs if G.depends_only_on(i, rope_inputs)]
         other = [i for i in m.inputs if i not in table]
         if len(table) == 1 and len(other) == 1:
-            branches.append(other[0])
+            branches.append((other[0], table[0]))
     if len(branches) != 2:
         return out
     out["applied"] = True
     # One branch is x, the other rotate-half(x): a small cone containing Neg
     # (Concat(Neg(x2), x1) or the Slice/Neg/Concat spelling).
-    for b in branches:
+    table_for_rotated = table_for_plain = None
+    for b, tbl in branches:
         frontier, found_neg = [b], False
         for _ in range(5):
             nxt = []
@@ -256,10 +257,29 @@ def _peel_rope(G: GraphIndex, tensor: str, rope_inputs: Set[str]) -> dict:
             frontier = nxt
         if found_neg:
             out["rotate_half"] = True
+            table_for_rotated = tbl
         else:
             out["x"] = b
+            table_for_plain = tbl
     if out["x"] is None:  # both or neither looked rotated — keep the first
-        out["x"] = branches[0]
+        out["x"] = branches[0][0]
+    # Table ASSIGNMENT check: the plain branch must multiply the COS table
+    # and the rotated branch the SIN table — swapped tables are the same
+    # symbolic shape but the wrong rotation direction (wrong audio). The
+    # rope inputs are name-identified per the reference I/O contract.
+    def _names(tensor):
+        return {d.lower() for d in G.deps.get(tensor, frozenset())}
+
+    if table_for_plain is not None and table_for_rotated is not None:
+        plain_n, rot_n = _names(table_for_plain), _names(table_for_rotated)
+        plain_cos = any("cos" in n for n in plain_n)
+        rot_sin = any("sin" in n for n in rot_n)
+        if (any("sin" in n for n in plain_n) and not plain_cos) or (
+            any("cos" in n for n in rot_n) and not rot_sin
+        ):
+            out["tables"] = "SWAPPED — plain branch multiplies sin, rotated cos"
+        elif plain_cos and rot_sin:
+            out["tables"] = "ok"
     return out
 
 
@@ -420,6 +440,10 @@ def verify_transformer(model: OnnxModel, facts: Optional[dict] = None,
         if rope_q["applied"] and not (rope_q["rotate_half"] or
                                       rope_k["rotate_half"]):
             verdict["rope"] = "applied but rotate-half structure not found"
+        if any(str(r.get("tables", "")).startswith("SWAPPED")
+               for r in (rope_q, rope_k)):
+            verdict["rope"] = ("cos/sin tables SWAPPED — plain branch "
+                               "multiplies sin, rotated branch cos")
 
         # -- projection + packing --
         x = rope_q["x"] or q_t
